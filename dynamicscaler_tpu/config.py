@@ -55,6 +55,11 @@ class VAEConfig:
     double_z: bool = True
     scale_factor: float = 0.18215  # latent scaling (ddpm3d.py scale_factor)
 
+    @property
+    def spatial_scale(self) -> int:
+        """Image->latent downsample factor (2 per level transition)."""
+        return 2 ** (len(self.ch_mult) - 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:

@@ -1,0 +1,383 @@
+"""torch -> JAX weight conversion for VideoCrafter checkpoints + OpenCLIP.
+
+The reference loads a single Lightning/DeepSpeed ``state_dict`` containing
+the UNet (``model.diffusion_model.*``), VAE (``first_stage_model.*``), text
+tower (``cond_stage_model.model.*``) and, for i2v, vision tower
+(``embedder.model.visual.*``) and projector (``image_proj_model.*``)
+(scripts/evaluation/funcs.py:88-104, lvdm/models/ddpm3d.py:182-198).
+
+This module walks the same structures deterministically (the UNet via
+:func:`dynamicscaler_tpu.models.unet3d.unet_layout`, which replicates the
+reference construction order) and emits the flax param trees. torch is only
+required at conversion time; the result is saved as an orbax/npz tree.
+
+Layout transforms:
+  Linear  [out, in]            -> kernel [in, out]
+  Conv2d  [out, in, kh, kw]    -> kernel [kh, kw, in, out]
+  Conv3d  [out, in, kt, kh, kw]-> kernel [kt, kh, kw, in, out]
+  Conv1d k=1 (as Dense)        -> kernel [in, out]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from dynamicscaler_tpu.config import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    ModelConfig,
+    ResamplerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from dynamicscaler_tpu.models.unet3d import unet_layout
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, dtype=np.float32)
+
+
+def lin(sd, p):
+    return {"kernel": _np(sd[p + ".weight"]).T, "bias": _np(sd[p + ".bias"])}
+
+
+def lin_nb(sd, p):
+    return {"kernel": _np(sd[p + ".weight"]).T}
+
+
+def conv2d(sd, p):
+    return {
+        "kernel": _np(sd[p + ".weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd[p + ".bias"]),
+    }
+
+
+def conv2d_nb(sd, p):
+    return {"kernel": _np(sd[p + ".weight"]).transpose(2, 3, 1, 0)}
+
+
+def conv3d(sd, p):
+    return {
+        "kernel": _np(sd[p + ".weight"]).transpose(2, 3, 4, 1, 0),
+        "bias": _np(sd[p + ".bias"]),
+    }
+
+
+def conv1d_as_dense(sd, p):
+    return {"kernel": _np(sd[p + ".weight"])[:, :, 0].T, "bias": _np(sd[p + ".bias"])}
+
+
+def norm(sd, p):
+    return {"scale": _np(sd[p + ".weight"]), "bias": _np(sd[p + ".bias"])}
+
+
+def gn32(sd, p):
+    """GroupNorm under the GroupNorm32 wrapper (nested GroupNorm_0)."""
+    return {"GroupNorm_0": norm(sd, p)}
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _convert_attention(sd, p, has_img_kv: bool, relative_position: bool = False):
+    out = {
+        "to_q": lin_nb(sd, p + ".to_q"),
+        "to_k": lin_nb(sd, p + ".to_k"),
+        "to_v": lin_nb(sd, p + ".to_v"),
+        "to_out": lin(sd, p + ".to_out.0"),
+    }
+    if has_img_kv and p + ".to_k_ip.weight" in sd:
+        out["to_k_ip"] = lin_nb(sd, p + ".to_k_ip")
+        out["to_v_ip"] = lin_nb(sd, p + ".to_v_ip")
+    if relative_position and p + ".relative_position_k.embeddings_table" in sd:
+        out["rel_pos_k"] = _np(sd[p + ".relative_position_k.embeddings_table"])
+        out["rel_pos_v"] = _np(sd[p + ".relative_position_v.embeddings_table"])
+    return out
+
+
+def _convert_transformer_block(sd, p, img_kv: bool, relative_position: bool = False):
+    return {
+        "attn1": _convert_attention(sd, p + ".attn1", False, relative_position),
+        "attn2": _convert_attention(sd, p + ".attn2", img_kv, relative_position),
+        "norm1": norm(sd, p + ".norm1"),
+        "norm2": norm(sd, p + ".norm2"),
+        "norm3": norm(sd, p + ".norm3"),
+        "ff": {
+            "geglu": {"proj": lin(sd, p + ".ff.net.0.proj")},
+            "out": lin(sd, p + ".ff.net.2"),
+        },
+    }
+
+
+def _convert_spatial(sd, p, cfg: UNetConfig):
+    out = {
+        "norm": gn32(sd, p + ".norm"),
+        "proj_in": lin(sd, p + ".proj_in"),
+        "proj_out": lin(sd, p + ".proj_out"),
+    }
+    for d in range(cfg.transformer_depth):
+        out[f"block{d}"] = _convert_transformer_block(
+            sd, f"{p}.transformer_blocks.{d}", cfg.use_image_attention
+        )
+    return out
+
+
+def _convert_temporal(sd, p, cfg: UNetConfig, use_linear: bool):
+    proj = lin if use_linear else conv1d_as_dense
+    out = {
+        "norm": gn32(sd, p + ".norm"),
+        "proj_in": proj(sd, p + ".proj_in"),
+        "proj_out": proj(sd, p + ".proj_out"),
+    }
+    for d in range(cfg.transformer_depth):
+        out[f"block{d}"] = _convert_transformer_block(
+            sd, f"{p}.transformer_blocks.{d}", False, cfg.use_relative_position
+        )
+    return out
+
+
+def _convert_res(sd, p, cfg: UNetConfig):
+    out = {
+        "in_norm": gn32(sd, p + ".in_layers.0"),
+        "in_conv": conv2d(sd, p + ".in_layers.2"),
+        "emb_proj": lin(sd, p + ".emb_layers.1"),
+        "out_norm": gn32(sd, p + ".out_layers.0"),
+        "out_conv": conv2d(sd, p + ".out_layers.3"),
+    }
+    if p + ".skip_connection.weight" in sd:
+        out["skip_conv"] = conv2d(sd, p + ".skip_connection")
+    if cfg.temporal_conv and p + ".temopral_conv.conv1.0.weight" in sd:
+        tc = {}
+        # torch Sequential indices: conv1 -> (0 GN, 2 Conv); conv2..4 -> (0 GN, 3 Conv)
+        for i, conv_idx in zip(range(1, 5), (2, 3, 3, 3)):
+            tc[f"norm{i}"] = gn32(sd, f"{p}.temopral_conv.conv{i}.0")
+            tc[f"conv{i}"] = conv3d(sd, f"{p}.temopral_conv.conv{i}.{conv_idx}")
+        out["temporal_conv"] = tc
+    return out
+
+
+def convert_unet(sd: Dict[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
+    """``model.diffusion_model.*``-stripped state_dict -> UNet3D params."""
+    in_specs, out_specs, mid_specs, _ = unet_layout(cfg)
+    p: Dict[str, Any] = {}
+    p["time_embed"] = {"fc1": lin(sd, "time_embed.0"), "fc2": lin(sd, "time_embed.2")}
+    if cfg.fps_cond:
+        p["fps_embed"] = {
+            "fc1": lin(sd, "fps_embedding.0"),
+            "fc2": lin(sd, "fps_embedding.2"),
+        }
+    if cfg.addition_attention:
+        p["init_attn"] = _convert_temporal(sd, "init_attn.0", cfg, use_linear=False)
+
+    for specs in list(in_specs) + list(out_specs) + [mid_specs]:
+        for s in specs:
+            tp = s.torch_path
+            if s.kind == "conv_in":
+                p[s.name] = conv2d(sd, tp)
+            elif s.kind == "res":
+                p[s.name] = _convert_res(sd, tp, cfg)
+            elif s.kind == "spatial":
+                p[s.name] = _convert_spatial(sd, tp, cfg)
+            elif s.kind == "temporal":
+                p[s.name] = _convert_temporal(sd, tp, cfg, use_linear=cfg.use_linear)
+            elif s.kind == "down":
+                p[s.name] = {"conv": conv2d(sd, tp + ".op")}
+            elif s.kind == "up":
+                p[s.name] = {"conv": conv2d(sd, tp + ".conv")}
+    p["out_norm"] = gn32(sd, "out.0")
+    p["out_conv"] = conv2d(sd, "out.2")
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+
+def _convert_resnet(sd, p):
+    out = {
+        "norm1": norm(sd, p + ".norm1"),
+        "conv1": conv2d(sd, p + ".conv1"),
+        "norm2": norm(sd, p + ".norm2"),
+        "conv2": conv2d(sd, p + ".conv2"),
+    }
+    if p + ".nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = conv2d(sd, p + ".nin_shortcut")
+    return out
+
+
+def _convert_vae_attn(sd, p):
+    return {
+        "norm": norm(sd, p + ".norm"),
+        "q": conv2d(sd, p + ".q"),
+        "k": conv2d(sd, p + ".k"),
+        "v": conv2d(sd, p + ".v"),
+        "proj_out": conv2d(sd, p + ".proj_out"),
+    }
+
+
+def convert_vae(sd: Dict[str, Any], cfg: VAEConfig) -> Dict[str, Any]:
+    """``first_stage_model.*``-stripped state_dict -> AutoencoderKL params."""
+    enc: Dict[str, Any] = {"conv_in": conv2d(sd, "encoder.conv_in")}
+    for i in range(len(cfg.ch_mult)):
+        for b in range(cfg.num_res_blocks):
+            enc[f"down{i}_block{b}"] = _convert_resnet(sd, f"encoder.down.{i}.block.{b}")
+        if i != len(cfg.ch_mult) - 1:
+            enc[f"down{i}_downsample"] = {
+                "conv": conv2d(sd, f"encoder.down.{i}.downsample.conv")
+            }
+    enc["mid_block_1"] = _convert_resnet(sd, "encoder.mid.block_1")
+    enc["mid_attn_1"] = _convert_vae_attn(sd, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _convert_resnet(sd, "encoder.mid.block_2")
+    enc["norm_out"] = norm(sd, "encoder.norm_out")
+    enc["conv_out"] = conv2d(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": conv2d(sd, "decoder.conv_in")}
+    dec["mid_block_1"] = _convert_resnet(sd, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _convert_vae_attn(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _convert_resnet(sd, "decoder.mid.block_2")
+    for i in range(len(cfg.ch_mult)):
+        for b in range(cfg.num_res_blocks + 1):
+            dec[f"up{i}_block{b}"] = _convert_resnet(sd, f"decoder.up.{i}.block.{b}")
+        if i != 0:
+            dec[f"up{i}_upsample"] = {"conv": conv2d(sd, f"decoder.up.{i}.upsample.conv")}
+    dec["norm_out"] = norm(sd, "decoder.norm_out")
+    dec["conv_out"] = conv2d(sd, "decoder.conv_out")
+
+    return {
+        "params": {
+            "encoder": enc,
+            "decoder": dec,
+            "quant_conv": conv2d(sd, "quant_conv"),
+            "post_quant_conv": conv2d(sd, "post_quant_conv"),
+        }
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP towers
+# ---------------------------------------------------------------------------
+
+
+def _convert_clip_block(sd, p):
+    return {
+        "ln_1": norm(sd, p + ".ln_1"),
+        "ln_2": norm(sd, p + ".ln_2"),
+        "attn": {
+            "in_proj": {
+                "kernel": _np(sd[p + ".attn.in_proj_weight"]).T,
+                "bias": _np(sd[p + ".attn.in_proj_bias"]),
+            },
+            "out_proj": lin(sd, p + ".attn.out_proj"),
+        },
+        "mlp_fc": lin(sd, p + ".mlp.c_fc"),
+        "mlp_proj": lin(sd, p + ".mlp.c_proj"),
+    }
+
+
+def convert_clip_text(sd: Dict[str, Any], cfg: CLIPTextConfig) -> Dict[str, Any]:
+    """``cond_stage_model.model.*``-stripped OpenCLIP text tower."""
+    p: Dict[str, Any] = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": norm(sd, "ln_final"),
+    }
+    n_blocks = cfg.layers - (1 if cfg.penultimate else 0)
+    for i in range(n_blocks):
+        p[f"resblock{i}"] = _convert_clip_block(sd, f"transformer.resblocks.{i}")
+    return {"params": p}
+
+
+def convert_clip_vision(sd: Dict[str, Any], cfg: CLIPVisionConfig) -> Dict[str, Any]:
+    """``embedder.model.visual.*``-stripped OpenCLIP vision tower."""
+    p: Dict[str, Any] = {
+        "patch_embed": {"kernel": _np(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd["class_embedding"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_pre": norm(sd, "ln_pre"),
+    }
+    for i in range(cfg.layers):
+        p[f"resblock{i}"] = _convert_clip_block(sd, f"transformer.resblocks.{i}")
+    return {"params": p}
+
+
+def convert_resampler(sd: Dict[str, Any], cfg: ResamplerConfig) -> Dict[str, Any]:
+    """``image_proj_model.*``-stripped Resampler (ip_resampler.py:93-135)."""
+    p: Dict[str, Any] = {
+        "latents": _np(sd["latents"]),
+        "proj_in": lin(sd, "proj_in"),
+        "proj_out": lin(sd, "proj_out"),
+        "norm_out": norm(sd, "norm_out"),
+    }
+    for d in range(cfg.depth):
+        p[f"attn{d}"] = {
+            "norm1": norm(sd, f"layers.{d}.0.norm1"),
+            "norm2": norm(sd, f"layers.{d}.0.norm2"),
+            "to_q": lin_nb(sd, f"layers.{d}.0.to_q"),
+            "to_kv": lin_nb(sd, f"layers.{d}.0.to_kv"),
+            "to_out": lin_nb(sd, f"layers.{d}.0.to_out"),
+        }
+        p[f"ff{d}"] = {
+            "norm": norm(sd, f"layers.{d}.1.0"),
+            "fc1": lin_nb(sd, f"layers.{d}.1.1"),
+            "fc2": lin_nb(sd, f"layers.{d}.1.3"),
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Whole-checkpoint entry point
+# ---------------------------------------------------------------------------
+
+
+def split_state_dict(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Split a full VideoCrafter checkpoint into per-component sub-dicts
+    (prefix-stripped)."""
+    prefixes = {
+        "unet": "model.diffusion_model.",
+        "vae": "first_stage_model.",
+        "clip_text": "cond_stage_model.model.",
+        "clip_vision": "embedder.model.visual.",
+        "resampler": "image_proj_model.",
+    }
+    out: Dict[str, Dict[str, Any]] = {k: {} for k in prefixes}
+    for key, val in sd.items():
+        for comp, pref in prefixes.items():
+            if key.startswith(pref):
+                out[comp][key[len(pref):]] = val
+                break
+    return out
+
+
+def load_videocrafter_checkpoint(path: str, config: ModelConfig) -> Dict[str, Any]:
+    """Load + convert a torch VideoCrafter ckpt into the LatentVideoDiffusion
+    params dict. Handles Lightning 'state_dict' nesting and DeepSpeed
+    'module.' prefixes (funcs.py:88-104)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in raw:
+        raw = raw["state_dict"]
+    elif "module" in raw:  # deepspeed
+        raw = {k[len("module."):]: v for k, v in raw["module"].items()}
+    parts = split_state_dict(raw)
+
+    params: Dict[str, Any] = {
+        "unet": convert_unet(parts["unet"], config.unet),
+        "vae": convert_vae(parts["vae"], config.vae),
+        "clip_text": convert_clip_text(parts["clip_text"], config.clip_text),
+    }
+    if config.clip_vision and parts["clip_vision"]:
+        params["clip_vision"] = convert_clip_vision(parts["clip_vision"], config.clip_vision)
+    if config.resampler and parts["resampler"]:
+        params["resampler"] = convert_resampler(parts["resampler"], config.resampler)
+    return params

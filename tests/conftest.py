@@ -9,6 +9,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The env may ship a TPU plugin that overrides JAX_PLATFORMS (e.g. axon);
+# force CPU through the config API as well.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
