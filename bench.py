@@ -1,0 +1,114 @@
+"""Benchmark: UNet tile-denoise throughput on one TPU chip.
+
+Measures the hot op of every DynamicScaler stage — one shift-window
+tile-denoise step (2 CFG UNet forwards of the full-size 1.44B-param
+VideoCrafter2-architecture i2v UNet at the native 40x64x16 window latent,
+plus the vectorized DDIM update) — as tiles/second on the local chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The comparison
+point is analytic: the reference executes the same two UNet forwards per
+tile sequentially in eager torch fp32 on A100; we credit the A100 with 60
+TFLOP/s effective throughput on that workload (generous: TF32-via-cuDNN mix
+with eager overheads) and divide by the measured per-tile FLOPs of the
+compiled program. ``vs_baseline`` = our tiles/sec / that estimate.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+A100_EFFECTIVE_FLOPS = 60e12  # analytic torch-eager A100 assumption (see above)
+WINDOWS = 4  # tiles denoised per program (CFG-packed batch = 8)
+FRAMES, LAT_H, LAT_W = 16, 40, 64
+TIMED_ITERS = 5
+
+
+def main():
+    from dynamicscaler_tpu.config import videocrafter_i2v
+    from dynamicscaler_tpu.models.unet3d import UNet3D
+    from dynamicscaler_tpu.ops.ddim import ddim_step, make_ddim_schedule
+
+    cfg = videocrafter_i2v(dtype="bfloat16")
+    unet = UNet3D(cfg.unet, dtype=jnp.bfloat16)
+    sched = make_ddim_schedule(48, 1000, linear_start=0.00085, linear_end=0.012)
+
+    L = cfg.unet.text_context_len + cfg.resampler.num_queries
+    x0 = jnp.zeros((WINDOWS, FRAMES, LAT_H, LAT_W, cfg.unet.in_channels), jnp.bfloat16)
+    t = jnp.full((2 * WINDOWS,), 500, jnp.int32)
+    ctx = jnp.zeros((2 * WINDOWS, L, cfg.unet.context_dim), jnp.bfloat16)
+
+    shapes = jax.eval_shape(
+        lambda: unet.init(jax.random.PRNGKey(0), x0[:1, :2], t[:1], ctx[:1], 16)
+    )
+    # deterministic small nonzero params (no giant RNG init, no zero-skip risk)
+    params = jax.tree.map(
+        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)), shapes
+    )
+
+    def tile_denoise_step(params, lat, ctx, step_index, key):
+        """One shift-window step for WINDOWS tiles: CFG-packed UNet + DDIM."""
+        x2 = jnp.concatenate([lat, lat], axis=0)
+        eps = unet.apply(params, x2, t, ctx, 16)
+        g = 7.5
+        eps = eps[WINDOWS:] + g * (eps[:WINDOWS] - eps[WINDOWS:])
+        new, den = ddim_step(sched, lat.astype(jnp.float32), eps, jnp.full((FRAMES,), step_index))
+        return new.astype(jnp.bfloat16)
+
+    jfn = jax.jit(tile_denoise_step)
+    key = jax.random.PRNGKey(0)
+    lat = jax.random.normal(key, x0.shape, jnp.bfloat16)
+
+    # compile + flops accounting
+    lowered = jfn.lower(params, lat, ctx, jnp.int32(30), key)
+    compiled = lowered.compile()
+    try:
+        flops_per_call = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = float("nan")
+
+    # warmup (2 calls), then timed loop; input chained so no call can be elided
+    lat_w = jax.block_until_ready(jfn(params, lat, ctx, jnp.int32(30), key))
+    lat_w = jax.block_until_ready(jfn(params, lat_w, ctx, jnp.int32(29), key))
+
+    start = time.perf_counter()
+    cur = lat_w
+    for i in range(TIMED_ITERS):
+        cur = jfn(params, cur, ctx, jnp.int32(28 - i), key)
+    jax.block_until_ready(cur)
+    elapsed = time.perf_counter() - start
+
+    sec_per_step = elapsed / TIMED_ITERS
+    tiles_per_sec = WINDOWS / sec_per_step
+
+    flops_per_tile = flops_per_call / WINDOWS if flops_per_call == flops_per_call else None
+    if flops_per_tile:
+        baseline_tiles_per_sec = A100_EFFECTIVE_FLOPS / flops_per_tile
+        vs_baseline = tiles_per_sec / baseline_tiles_per_sec
+    else:
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "unet_tile_denoise_steps_per_sec_per_chip",
+                "value": round(tiles_per_sec, 3),
+                "unit": "tiles/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "windows_per_step": WINDOWS,
+                    "sec_per_step": round(sec_per_step, 4),
+                    "flops_per_tile": flops_per_tile,
+                    "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

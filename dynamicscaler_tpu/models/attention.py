@@ -24,6 +24,9 @@ import flax.linen as nn
 from dynamicscaler_tpu.models.layers import FeedForward
 
 
+from dynamicscaler_tpu.ops.attention import attention as _fused_attention
+
+
 def scaled_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -32,19 +35,10 @@ def scaled_attention(
     bias: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Attention over [B, H, N, D] with fp32 softmax.
-
-    bias: optional [B, H, N, M] (or broadcastable) additive logits term.
-    mask: optional boolean [..., N, M]; False positions masked out.
-    """
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    if bias is not None:
-        logits = logits + bias
-    if mask is not None:
-        neg = jnp.finfo(jnp.float32).min
-        logits = jnp.where(mask, logits, neg)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+    """Attention over [B, H, N, D]: dispatches to the Pallas TPU flash
+    kernel / chunked online-softmax / fp32-einsum by shape+platform
+    (see ops/attention.py)."""
+    return _fused_attention(q, k, v, scale, bias=bias, mask=mask)
 
 
 class CrossAttention(nn.Module):

@@ -29,7 +29,7 @@ from dynamicscaler_tpu.models.clip import (
 from dynamicscaler_tpu.models.resampler import Resampler
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # id-hash: used as a static jit argument
 class LatentVideoDiffusion:
     """Frozen model bundle. ``params`` keys: unet, vae, clip_text and (i2v)
     clip_vision, resampler."""

@@ -51,13 +51,14 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        from dynamicscaler_tpu.ops.attention import attention as fused_attention
+
         h = _gn("norm")(x.astype(jnp.float32)).astype(self.dtype)
-        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
-        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
-        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
-        logits = jnp.einsum("bnc,bmc->bnm", q, k) * (C**-0.5)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", probs, v).reshape(B, H, W, C)
+        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, 1, H * W, C)
+        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, 1, H * W, C)
+        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, 1, H * W, C)
+        # single head, head_dim = C: chunked path engages at panorama widths
+        out = fused_attention(q, k, v, C**-0.5)[:, 0].reshape(B, H, W, C)
         out = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 

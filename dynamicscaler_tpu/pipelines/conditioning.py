@@ -1,0 +1,59 @@
+"""Conditioning preparation: text/image context assembly + CFG uncond.
+
+Reference: pipeline/*_pipeline.py "3. Encode input prompt" / "3.5 Prepare
+CFG" sections (e.g. i2v_sphere_panorama_pipeline.py:100-137) and the
+multi-prompt selection util (utils/multi_prompt_utils.py:1-8).
+
+The key TPU-side redesign: per-window conditioning depends only on the
+finite set of step *phases* (window offsets cycle with ``loop_step``), so
+all CLIP forwards happen up front, batched, and the sampling loop consumes
+precomputed context arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def select_prompt_by_factor(prompt_dict: Dict[float, str], factor: float) -> str:
+    """Pick the prompt whose sorted key >= factor
+    (utils/multi_prompt_utils.py:1-8)."""
+    assert 0.0 <= factor <= 1.0, f"select_prompt factor {factor} not legal"
+    for key in sorted(prompt_dict.keys()):
+        if factor <= key:
+            return prompt_dict[key]
+    return prompt_dict[sorted(prompt_dict.keys())[-1]]
+
+
+def encode_texts_cached(model, texts: Sequence[str], cache: dict):
+    """Batch-encode unique uncached prompts once; return [len(texts), 77, D]."""
+    missing = [t for t in dict.fromkeys(texts) if t not in cache]
+    if missing:
+        embs = model.encode_text(list(missing))
+        for i, t in enumerate(missing):
+            cache[t] = embs[i]
+    return jnp.stack([cache[t] for t in texts])
+
+
+def build_uncond_context(model, batch: int = 1, with_image: bool = None,
+                         image_hw=None) -> jnp.ndarray:
+    """CFG uncond context: empty-prompt text emb, plus (i2v) the embedding of
+    a zero image (i2v_sphere_panorama_pipeline.py:111-137 — note the
+    reference feeds a zero image at *latent* resolution h//8 x w//8)."""
+    uc_text = model.encode_text([""] * batch)
+    if with_image is None:
+        with_image = model.image_encoder is not None
+    if not with_image:
+        return uc_text
+    h, w = image_hw if image_hw is not None else (40, 64)
+    uc_img = model.encode_image_cond(jnp.zeros((batch, h, w, 3)))
+    return jnp.concatenate([uc_text, uc_img], axis=1)
+
+
+def cat_text_image(text_emb: jnp.ndarray, img_emb: jnp.ndarray) -> jnp.ndarray:
+    """imtext context = [text tokens ; image tokens] (split again at 77
+    inside dual cross-attention)."""
+    return jnp.concatenate([text_emb, img_emb], axis=1)

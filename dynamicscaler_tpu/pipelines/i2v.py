@@ -1,0 +1,214 @@
+"""Image-to-video planar shift-window sampler (fractional overlap).
+
+The stage-2 (1x) and stage-3 (2x upscale) sampler of the 360° pipeline
+(reference ``VC2_Pipeline_I2V_SpherePano.basic_sample_shift_multi_windows``,
+i2v_sphere_panorama_pipeline.py:565-998):
+
+* window grid with fractional overlap derived from total size, cyclic
+  per-step offsets, frame ring-windows with docking;
+* per-window conditioning = multi-prompt text (by window height position) +
+  CLIP image embedding of the matching pano-image crop. Window offsets
+  cycle with ``loop_step``, so all CLIP forwards are precomputed per phase
+  and batched — the reference re-encodes every window every step
+  (BASELINE.md: 660 CLIP image encodes for these stages alone);
+* every DDIM step is one jitted program via PlanarShiftWindowEngine;
+* ring-aware wrap-padded VAE decode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
+from dynamicscaler_tpu.ops.ddim import re_noise, re_noise_per_frame
+from dynamicscaler_tpu.pipelines.conditioning import (
+    build_uncond_context,
+    cat_text_image,
+    encode_texts_cached,
+    select_prompt_by_factor,
+)
+from dynamicscaler_tpu.pipelines.planar import (
+    PlanarShiftWindowEngine,
+    StepPlan,
+    earlier_coverage_masks,
+)
+from dynamicscaler_tpu.pipelines.tiled_vae import ring_aware_decode, tiled_vae_encode
+from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
+from dynamicscaler_tpu.core.windows import PlanarGrid, frame_window_origins
+
+
+def ring_crop_image(image: np.ndarray, top: int, left: int, h: int, w: int) -> np.ndarray:
+    """Wrap-around crop of a [H, W, 3] image (RingImageTensor semantics,
+    shift_window_utils.py:232-265)."""
+    H, W = image.shape[:2]
+    hi = (np.arange(h) + top) % H
+    wi = (np.arange(w) + left) % W
+    return image[np.ix_(hi, wi)]
+
+
+def _phase_contexts(
+    model: LatentVideoDiffusion,
+    grid: PlanarGrid,
+    pano_image: np.ndarray,
+    prompt: str,
+    window_multi_prompt_dict: Optional[Dict[float, str]],
+    view_height: int,
+    view_width: int,
+    text_cache: dict,
+    params=None,
+) -> List[jnp.ndarray]:
+    """Per-phase [N_spatial, L, D] context arrays (text + image crop)."""
+    vs = model.config.vae.spatial_scale
+    total_h_img = grid.total_h * vs
+    contexts = []
+    for phase in range(grid.loop_step):
+        origins = grid.step_origins(phase)
+        crops, prompts = [], []
+        for (h0, w0) in origins:
+            top, left = h0 * vs, w0 * vs
+            crops.append(ring_crop_image(pano_image, top, left, view_height, view_width))
+            factor = min(1.0, (top + view_height) / total_h_img)
+            prompts.append(
+                select_prompt_by_factor(window_multi_prompt_dict, factor)
+                if window_multi_prompt_dict
+                else prompt
+            )
+        img_embs = model.encode_image_cond(jnp.asarray(np.stack(crops)), params=params)
+        text_embs = encode_texts_cached(model, prompts, text_cache)
+        contexts.append(cat_text_image(text_embs, img_embs))
+    return contexts
+
+
+def sample_shift_multi_windows(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    pano_image: np.ndarray,  # [total_h, total_w, 3] in [-1, 1] (host)
+    total_w: int,
+    total_h: int,
+    total_f: int,
+    num_windows_w: int,
+    num_windows_h: int,
+    loop_step: int,
+    height: int = 320,
+    width: int = 512,
+    frames: int = 16,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    num_inference_steps: int = 48,
+    begin_index_offset: int = 0,
+    dock_at_f: bool = False,
+    overlap_ratio_list_f: Optional[Sequence[float]] = None,
+    loop_step_frame: Optional[int] = None,
+    merge_renoised_overlap_latent_ratio: Optional[float] = 1.0,
+    merge_prev_denoised_ratio_list: Optional[Sequence[float]] = None,
+    window_multi_prompt_dict: Optional[Dict[float, str]] = None,
+    init_panorama_latent: Optional[jnp.ndarray] = None,
+    use_skip_time: bool = False,
+    skip_time_step_idx: Optional[int] = None,
+    progressive_skip: bool = False,
+    overlap_mode: str = "last",
+    mesh=None,
+    unet_microbatch: int = 0,
+    key: Optional[jax.Array] = None,
+    decode: bool = True,
+    params=None,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Planar ring multi-window i2v sampling. Sizes in image pixels
+    (``total_*``); windows are the model's native ``height x width``.
+
+    Returns (video or None, denoised latent [1, F, th, tw, C]).
+    """
+    assert key is not None
+    sched = make_schedule_for_model(model, num_inference_steps)
+    vs = model.config.vae.spatial_scale
+    wh, ww = height // vs, width // vs
+    th, tw = total_h // vs, total_w // vs
+
+    grid = PlanarGrid(
+        total_h=th, total_w=tw, win_h=wh, win_w=ww,
+        num_windows_h=num_windows_h, num_windows_w=num_windows_w,
+        loop_step=loop_step, vae_scale=vs,
+    )
+
+    # ---- conditioning (all CLIP forwards precomputed, per phase) ----------
+    text_cache: dict = {}
+    phase_ctx = _phase_contexts(
+        model, grid, pano_image, prompt, window_multi_prompt_dict,
+        height, width, text_cache, params=params,
+    )
+    uncond = build_uncond_context(model, image_hw=(wh, ww))
+
+    # ---- init latent -------------------------------------------------------
+    k_init, k_run, k_noise = jax.random.split(key, 3)
+    S = num_inference_steps
+    skip = int(skip_time_step_idx or 0)
+    if init_panorama_latent is None:
+        latent = jax.random.normal(
+            k_init, (1, total_f, th, tw, model.config.unet.in_channels)
+        )
+        if use_skip_time:
+            frame0 = tiled_vae_encode(model, jnp.asarray(pano_image), params=params)
+            if progressive_skip:
+                steps_b = np.full((total_f,), S - 1, np.int32)
+                for frame_idx, pskip in enumerate(reversed(range(skip))):
+                    steps_b[frame_idx] = S - pskip - 1
+                clean = jnp.tile(frame0, (1, total_f, 1, 1, 1))
+                noised = re_noise_per_frame(
+                    sched, clean, jnp.asarray(steps_b), key=k_noise
+                )
+                # only the first `skip` frames start from the image; the rest
+                # stay pure noise (re_noise to S-1 ~ pure noise anyway, but
+                # match the reference exactly: frames >= skip keep randn)
+                sel = (np.arange(total_f) < skip)[None, :, None, None, None]
+                latent = jnp.where(jnp.asarray(sel), noised, latent)
+            else:
+                clean = jnp.tile(frame0, (1, total_f, 1, 1, 1))
+                latent = re_noise(sched, clean, 0, S - 1, key=k_noise)
+    else:
+        latent = jnp.asarray(init_panorama_latent)
+
+    # ---- step plan ---------------------------------------------------------
+    if overlap_ratio_list_f is None:
+        overlap_ratio_list_f = [0.25] * S
+    steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
+    plan: List[StepPlan] = []
+    for i in range(steps_eff):
+        index = steps_eff - 1 - i  # == full-table index (see module docs)
+        phase = (i + begin_index_offset) % loop_step
+        spatial = grid.step_origins(i, begin_index_offset)
+        f_origins = frame_window_origins(
+            i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
+        )
+        origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
+        ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
+        masks = earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
+        last = i == steps_eff - 1
+        plan.append(
+            StepPlan(
+                t=int(sched.ddim_timesteps[index]),
+                index=index,
+                origins=np.asarray(origins, np.int32),
+                context=ctx,
+                earlier_mask=masks,
+                renoise_ratio=None
+                if last or merge_renoised_overlap_latent_ratio is None
+                else float(merge_renoised_overlap_latent_ratio),
+                merge_prev_ratio=None
+                if last or merge_prev_denoised_ratio_list is None
+                else float(merge_prev_denoised_ratio_list[i]),
+            )
+        )
+
+    engine = PlanarShiftWindowEngine(
+        model, sched, (frames, wh, ww),
+        guidance_scale=guidance_scale, fps=fps, overlap_mode=overlap_mode,
+        mesh=mesh, unet_microbatch=unet_microbatch,
+    )
+    latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
+
+    video = ring_aware_decode(model, denoised, params=params) if decode else None
+    return video, denoised

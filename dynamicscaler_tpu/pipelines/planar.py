@@ -1,0 +1,288 @@
+"""Planar shift-window denoising engine.
+
+The TPU-native heart of DynamicScaler: one DDIM step over N overlapping
+ring-windows is ONE jitted XLA program — windows are gathered from the
+global latent as a batch, the UNet runs once on a ``2N`` CFG-packed batch,
+and results scatter back — replacing the reference's sequential Python
+window loop (i2v_sphere_panorama_pipeline.py:812-968,
+i2v_normal_pipeline.py:254-413).
+
+Overlap semantics (SURVEY §7 "hard part (a)"): the reference denoises
+windows in order; window k+1 *reads* regions window k already wrote this
+step, re-noises them (``merge_renoised_overlap_latent_ratio``) and later
+merges back pre-step content (``merge_prev_denoised_ratio``), with
+last-write-wins scatter. Three modes reproduce / redesign this:
+
+* ``last`` (default): windows read the step-start snapshot; the
+  order-dependent blends use precomputed earlier-window coverage masks, and
+  the scatter is an ordered ``lax.scan`` (last-write-wins). Statistically
+  equivalent to the reference; one UNet call per step.
+* ``average``: commutative weighted scatter-average over overlaps (the
+  blend the reference itself uses for tiled VAE encode,
+  i2v_sphere_panorama_pipeline.py:546-560). Fully order-free.
+* ``sequential``: exact reference ordering inside one jitted
+  ``lax.scan`` — window k+1 reads window k's writes. Parity/testing mode
+  (N UNet calls per step, still zero Python overhead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
+from dynamicscaler_tpu.ops.ddim import DDIMSchedule, ddim_step, re_noise
+from dynamicscaler_tpu.ops.ring import get_ring_window, set_ring_window, add_ring_window
+from dynamicscaler_tpu.ops.blend import mix_with_mask, normalize_accumulated
+
+
+def earlier_coverage_masks(
+    origins: Sequence[Tuple[int, int, int]],
+    sizes: Tuple[int, int, int],
+    dims: Tuple[int, int, int],
+) -> np.ndarray:
+    """masks[k] = 1 where window k's footprint was already covered by
+    windows < k in this step (the reference's within-step ``denoised_mask``
+    as seen by window k, i2v_sphere_panorama_pipeline.py:858-871)."""
+    F, H, W = dims
+    fs, hs, ws = sizes
+    cov = np.zeros((F, H, W), bool)
+    masks = np.zeros((len(origins), fs, hs, ws, 1), np.float32)
+    for k, (f0, h0, w0) in enumerate(origins):
+        fi = (np.arange(fs) + f0) % F
+        hi = (np.arange(hs) + h0) % H
+        wi = (np.arange(ws) + w0) % W
+        masks[k, ..., 0] = cov[np.ix_(fi, hi, wi)]
+        cov[np.ix_(fi, hi, wi)] = True
+    return masks
+
+
+@dataclasses.dataclass(frozen=True)
+class StepPlan:
+    """Host-precomputed data for one DDIM step of the window loop."""
+
+    t: int  # DDPM timestep fed to the UNet
+    index: int  # DDIM table index (total_steps - i - 1)
+    origins: np.ndarray  # [N, 3] int32 (f0, h0, w0)
+    context: jnp.ndarray  # [N, L, D] per-window cond context
+    earlier_mask: Optional[np.ndarray]  # [N, f, h, w, 1] or None
+    renoise_ratio: Optional[float]
+    merge_prev_ratio: Optional[float]
+
+
+class PlanarShiftWindowEngine:
+    def __init__(
+        self,
+        model: LatentVideoDiffusion,
+        schedule: DDIMSchedule,
+        window_sizes: Tuple[int, int, int],
+        guidance_scale: float = 7.5,
+        fps: int = 16,
+        overlap_mode: str = "last",
+        mesh=None,
+        unet_microbatch: int = 0,
+    ):
+        assert overlap_mode in ("last", "average", "sequential")
+        self.model = model
+        self.schedule = schedule
+        self.window_sizes = window_sizes
+        self.guidance_scale = guidance_scale
+        self.fps = fps
+        self.overlap_mode = overlap_mode
+        self.mesh = mesh
+        self._step_fn = jax.jit(
+            partial(
+                _window_step,
+                model=model,
+                sizes=window_sizes,
+                guidance=guidance_scale,
+                fps=fps,
+                mode=overlap_mode,
+                mesh=mesh,
+                unet_microbatch=unet_microbatch,
+            ),
+            static_argnames=("use_renoise", "use_merge_prev"),
+        )
+
+    def run(
+        self,
+        latent: jnp.ndarray,  # [1, F, H, W, C]
+        plan: Sequence[StepPlan],
+        uncond_context: jnp.ndarray,  # [1, L, D]
+        key: jax.Array,
+        params=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Run the full window-denoise loop. Returns (latent, denoised)."""
+        params = params if params is not None else self.model.params
+        denoised = jnp.zeros_like(latent)
+        for i, sp in enumerate(plan):
+            step_key = jax.random.fold_in(key, i)
+            latent, denoised = self._step_fn(
+                params,
+                self.schedule,
+                latent,
+                denoised,
+                jnp.asarray(sp.origins, jnp.int32),
+                None if sp.earlier_mask is None else jnp.asarray(sp.earlier_mask),
+                sp.context,
+                uncond_context,
+                jnp.asarray(sp.t, jnp.int32),
+                jnp.asarray(sp.index, jnp.int32),
+                jnp.asarray(0.0 if sp.renoise_ratio is None else sp.renoise_ratio),
+                jnp.asarray(0.0 if sp.merge_prev_ratio is None else sp.merge_prev_ratio),
+                step_key,
+                use_renoise=sp.renoise_ratio is not None,
+                use_merge_prev=sp.merge_prev_ratio is not None,
+            )
+        return latent, denoised
+
+
+def _window_step(
+    params,
+    schedule: DDIMSchedule,
+    latent: jnp.ndarray,
+    denoised_buf: jnp.ndarray,
+    origins: jnp.ndarray,  # [N, 3]
+    earlier_mask,  # [N, f, h, w, 1] or None
+    context: jnp.ndarray,  # [N, L, D]
+    uncond_context: jnp.ndarray,  # [1, L, D]
+    t,
+    index,
+    renoise_ratio,
+    merge_prev_ratio,
+    key,
+    *,
+    model: LatentVideoDiffusion,
+    sizes,
+    guidance,
+    fps,
+    mode,
+    mesh=None,
+    unet_microbatch: int = 0,
+    use_renoise: bool,
+    use_merge_prev: bool,
+):
+    from dynamicscaler_tpu.parallel.mesh import constrain_latent, constrain_window_batch
+
+    # global pano latent rides the mesh 'seq' axis along W (ring <-> ring ICI)
+    latent = constrain_latent(latent, mesh)
+    denoised_buf = constrain_latent(denoised_buf, mesh)
+
+    N = origins.shape[0]
+    fs, hs, ws = sizes
+    frame_idx = jnp.full((fs,), index, jnp.int32)
+
+    def unet_eps(x, cc):
+        n = x.shape[0]
+        if unet_microbatch and n > unet_microbatch:
+            mb = unet_microbatch
+            pad = (-n) % mb
+            if pad:
+                x = jnp.concatenate([x, x[:pad]], 0)
+                cc = jnp.concatenate([cc, cc[:pad]], 0)
+            xs = x.reshape(-1, mb, *x.shape[1:])
+            cs = cc.reshape(-1, mb, *cc.shape[1:])
+            eps = jax.lax.map(
+                lambda ab: model.apply_unet(
+                    ab[0], jnp.full((mb,), t), ab[1], fps, params=params
+                ),
+                (xs, cs),
+            )
+            return eps.reshape(-1, *eps.shape[2:])[:n]
+        return model.apply_unet(x, jnp.full((n,), t), cc, fps, params=params)
+
+    def denoise_batch(wins, ctx):
+        """wins [n, f, h, w, C] -> (x_prev, pred_x0); one CFG-packed UNet call,
+        window batch sharded over the mesh 'data' axis."""
+        n = wins.shape[0]
+        if guidance != 1.0:
+            x = jnp.concatenate([wins, wins], axis=0)
+            uc = jnp.broadcast_to(uncond_context, (n,) + uncond_context.shape[1:])
+            cc = jnp.concatenate([ctx, uc], axis=0)
+            x = constrain_window_batch(x, mesh)
+            eps = unet_eps(x, cc)
+            eps = eps[n:] + guidance * (eps[:n] - eps[n:])
+        else:
+            wins_s = constrain_window_batch(wins, mesh)
+            eps = unet_eps(wins_s, ctx)
+        return ddim_step(schedule, wins, eps, frame_idx)
+
+    if mode == "sequential":
+        # exact reference ordering: each window reads prior windows' writes
+        def body(carry, xs):
+            lat, den, mask_global = carry
+            origin, ctx, k = xs
+            win = get_ring_window(lat, tuple(origin), sizes)
+            mask_win = get_ring_window(mask_global, tuple(origin), sizes)
+            prev = win
+            if use_renoise:
+                noised = re_noise(
+                    schedule, win, index - 1, index, key=jax.random.fold_in(key, k)
+                )
+                win = mix_with_mask(win, noised, mask_win, renoise_ratio)
+            new, den_w = denoise_batch(win[0][None], ctx[None])
+            new, den_w = new[0][None], den_w[0][None]
+            if use_merge_prev:
+                new = mix_with_mask(new, prev, mask_win, merge_prev_ratio)
+            lat = set_ring_window(lat, new, tuple(origin))
+            den = set_ring_window(den, den_w, tuple(origin))
+            mask_global = set_ring_window(
+                mask_global, jnp.ones_like(new), tuple(origin)
+            )
+            return (lat, den, mask_global), None
+
+        mask0 = jnp.zeros_like(latent)
+        (latent, denoised_buf, _), _ = jax.lax.scan(
+            body, (latent, denoised_buf, mask0), (origins, context, jnp.arange(N))
+        )
+        return latent, denoised_buf
+
+    # snapshot modes: gather all windows at once
+    def gather(origin):
+        return get_ring_window(latent, (origin[0], origin[1], origin[2]), sizes)[0]
+
+    wins = jax.vmap(gather)(origins)  # [N, f, h, w, C]
+    prev = wins
+
+    if use_renoise and earlier_mask is not None and mode == "last":
+        noised = re_noise(schedule, wins, index - 1, index, key=key)
+        wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
+
+    new, den = denoise_batch(wins, context)
+
+    if use_merge_prev and earlier_mask is not None and mode == "last":
+        new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
+
+    if mode == "average":
+        accum = jnp.zeros_like(latent)
+        count = jnp.zeros(latent.shape[:-1] + (1,), latent.dtype)
+        dac = jnp.zeros_like(latent)
+
+        def body(carry, xs):
+            accum, count, dac = carry
+            origin, w, d = xs
+            accum = add_ring_window(accum, w[None], tuple(origin))
+            count = add_ring_window(count, jnp.ones_like(w[None, ..., :1]), tuple(origin))
+            dac = add_ring_window(dac, d[None], tuple(origin))
+            return (accum, count, dac), None
+
+        (accum, count, dac), _ = jax.lax.scan(body, (accum, count, dac), (origins, new, den))
+        latent = normalize_accumulated(accum, count, latent)
+        denoised_buf = normalize_accumulated(dac, count, denoised_buf)
+        return latent, denoised_buf
+
+    # mode == "last": ordered scatter, last write wins (reference order)
+    def body(carry, xs):
+        lat, den = carry
+        origin, w, d = xs
+        lat = set_ring_window(lat, w[None], tuple(origin))
+        den = set_ring_window(den, d[None], tuple(origin))
+        return (lat, den), None
+
+    (latent, denoised_buf), _ = jax.lax.scan(body, (latent, denoised_buf), (origins, new, den))
+    return latent, denoised_buf

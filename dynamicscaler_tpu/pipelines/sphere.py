@@ -1,0 +1,447 @@
+"""Spherical (equirectangular) panorama shift-window denoising — the
+flagship stage-1 algorithm.
+
+Reference: ``VC2_Pipeline_I2V_SpherePano.basic_sample_shift_shpere_panorama``
+(i2v_sphere_panorama_pipeline.py:32-496) and the t2v variant
+(t2v_sphere_panorama_pipeline.py:24-316). TPU redesign:
+
+* The (phi, theta) view set per step depends only on the step phase
+  ``i % loop_step_theta`` — all projection index maps AND all per-view CLIP
+  conditionings (pano-crop image embeds + per-phi prompts) are precomputed
+  per phase. The reference runs ~1,320 CLIP image forwards + ~660 text
+  forwards per clip; here it is ``loop_step_theta`` batched forwards total.
+* One DDIM step = one jitted program: batched view gather, 2N CFG-packed
+  UNet call, vectorized DDIM, ordered (or averaged) scatter.
+* ``paste_on_static`` re-anchoring: the clean pano latent is tiled-VAE
+  encoded ONCE (the reference re-encodes the same image every step,
+  i2v_sphere_panorama_pipeline.py:245-254) and re-noised to the current
+  level inside the step program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
+from dynamicscaler_tpu.ops.ddim import DDIMSchedule, ddim_step, re_noise, re_noise_per_frame
+from dynamicscaler_tpu.ops.blend import mix_with_mask, normalize_accumulated
+from dynamicscaler_tpu.ops.ring import wrap_slice_indices
+from dynamicscaler_tpu.ops.resize import resize_video_latent
+from dynamicscaler_tpu.ops.sphere import make_sphere_view, SphereView
+from dynamicscaler_tpu.pipelines.conditioning import (
+    build_uncond_context,
+    cat_text_image,
+    encode_texts_cached,
+)
+from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
+from dynamicscaler_tpu.pipelines.tiled_vae import tiled_vae_encode
+from dynamicscaler_tpu.core.windows import frame_window_origins, sphere_phase_views
+
+
+# ---------------------------------------------------------------------------
+# host-side precomputation
+# ---------------------------------------------------------------------------
+
+
+def _phase_view_maps(
+    phase_views: Dict[int, List[Tuple[float, float]]],
+    view_fov: float,
+    lat_h: int,
+    lat_w: int,
+    eq_lat_h: int,
+    eq_lat_w: int,
+):
+    """Per phase: stacked latent-space gather/scatter index maps [Nv, h, w]."""
+    out = {}
+    for phase, views in phase_views.items():
+        svs = [
+            make_sphere_view(view_fov, theta, phi, lat_h, lat_w, eq_lat_h, eq_lat_w)
+            for (phi, theta) in views
+        ]
+        out[phase] = dict(
+            gather=jnp.asarray(np.stack([v.gather_idx for v in svs])),
+            scatter=jnp.asarray(np.stack([v.scatter_idx for v in svs])),
+            valid=jnp.asarray(np.stack([v.valid for v in svs]).astype(np.float32)),
+            scatter_np=np.stack([v.scatter_idx for v in svs]),
+        )
+    return out
+
+
+def sphere_earlier_masks(
+    scatter_idx: np.ndarray,  # [Nv, h, w], -1 = invalid
+    f_origins: Sequence[int],
+    frames: int,
+    total_f: int,
+    eq_pixels: int,
+) -> np.ndarray:
+    """Earlier-window coverage mask per (frame-window, view) pair, pano-pixel
+    accurate (the within-step ``denoised_mask`` each view sees,
+    i2v_sphere_panorama_pipeline.py:345-365)."""
+    Nv, h, w = scatter_idx.shape
+    pairs = [(f0, v) for f0 in f_origins for v in range(Nv)]
+    cov = np.zeros((total_f, eq_pixels), bool)
+    masks = np.zeros((len(pairs), frames, h, w, 1), np.float32)
+    for k, (f0, v) in enumerate(pairs):
+        fi = (np.arange(frames) + f0) % total_f
+        sidx = scatter_idx[v]
+        valid = sidx >= 0
+        flat = sidx.reshape(-1).clip(0)
+        m = cov[np.ix_(fi, flat)]  # [frames, h*w]
+        masks[k, ..., 0] = (m & valid.reshape(-1)[None, :]).reshape(frames, h, w)
+        cov[np.ix_(fi, np.unique(sidx[valid]))] = True
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# jitted step
+# ---------------------------------------------------------------------------
+
+
+def _sphere_step(
+    params,
+    schedule: DDIMSchedule,
+    latent: jnp.ndarray,  # [1, F, eqh, eqw, C]
+    denoised_buf: jnp.ndarray,
+    static_clean: jnp.ndarray,  # [1, 1, eqh, eqw, C] (zeros if unused)
+    gather_idx: jnp.ndarray,  # [Nv, h, w]
+    scatter_idx: jnp.ndarray,  # [Nv, h, w]
+    valid: jnp.ndarray,  # [Nv, h, w] float
+    f_origins: jnp.ndarray,  # [Nf]
+    pair_view: jnp.ndarray,  # [Nw] view index per pair
+    pair_f: jnp.ndarray,  # [Nw] frame origin per pair
+    earlier_mask: jnp.ndarray,  # [Nw, frames, h, w, 1]
+    context: jnp.ndarray,  # [Nw, L, D]
+    uncond_context: jnp.ndarray,
+    t,
+    index,
+    renoise_ratio,
+    merge_prev_ratio,
+    key,
+    *,
+    model: LatentVideoDiffusion,
+    frames: int,
+    guidance: float,
+    fps: int,
+    mode: str,
+    use_renoise: bool,
+    use_merge_prev: bool,
+    paste_on_static: bool,
+    unet_microbatch: int = 0,
+):
+    B, F, EH, EW, C = latent.shape
+    Nw = pair_view.shape[0]
+    flat_lat = latent.reshape(F, EH * EW, C)
+
+    def gather_one(v_idx, f0):
+        fi = wrap_slice_indices(f0, frames, F)
+        gi = gather_idx[v_idx].reshape(-1)
+        win = flat_lat[fi][:, gi, :]
+        win = win * valid[v_idx].reshape(1, -1, 1)
+        return win.reshape(frames, *gather_idx.shape[1:], C)
+
+    wins = jax.vmap(gather_one)(pair_view, pair_f)  # [Nw, frames, h, w, C]
+    prev = wins
+
+    if use_renoise:
+        noised = re_noise(schedule, wins, index - 1, index, key=key)
+        wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
+
+    frame_idx = jnp.full((frames,), index, jnp.int32)
+
+    def unet_eps(x, ctx):
+        n = x.shape[0]
+        return model.apply_unet(x, jnp.full((n,), t), ctx, fps, params=params)
+
+    if guidance != 1.0:
+        x_all = jnp.concatenate([wins, wins], axis=0)
+        uc = jnp.broadcast_to(uncond_context, (Nw,) + uncond_context.shape[1:])
+        ctx_all = jnp.concatenate([context, uc], axis=0)
+    else:
+        x_all, ctx_all = wins, context
+
+    if unet_microbatch and x_all.shape[0] > unet_microbatch:
+        n_total = x_all.shape[0]
+        mb = unet_microbatch
+        pad = (-n_total) % mb
+        if pad:
+            x_all = jnp.concatenate([x_all, x_all[:pad]], 0)
+            ctx_all = jnp.concatenate([ctx_all, ctx_all[:pad]], 0)
+        xs = x_all.reshape(-1, mb, *x_all.shape[1:])
+        cs = ctx_all.reshape(-1, mb, *ctx_all.shape[1:])
+        eps = jax.lax.map(lambda ab: unet_eps(ab[0], ab[1]), (xs, cs))
+        eps = eps.reshape(-1, *eps.shape[2:])[:n_total]
+    else:
+        eps = unet_eps(x_all, ctx_all)
+
+    if guidance != 1.0:
+        eps = eps[Nw:] + guidance * (eps[:Nw] - eps[Nw:])
+
+    new, den = ddim_step(schedule, wins, eps, frame_idx)
+
+    if use_merge_prev:
+        new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
+
+    # scatter target: re-noised static pano (paste_on_static) or the latent
+    if paste_on_static:
+        clean = jnp.broadcast_to(static_clean, (B, F) + static_clean.shape[2:])
+        target = re_noise(schedule, clean, 0, index, key=jax.random.fold_in(key, 1))
+    else:
+        target = latent
+
+    tgt_flat = target.reshape(F, EH * EW, C)
+    den_flat = denoised_buf.reshape(F, EH * EW, C)
+
+    if mode == "average":
+        acc = jnp.zeros_like(tgt_flat)
+        cnt = jnp.zeros(tgt_flat.shape[:-1] + (1,), tgt_flat.dtype)
+        dacc = jnp.zeros_like(tgt_flat)
+
+        def body(carry, xs):
+            acc, cnt, dacc = carry
+            v_idx, f0, w_new, w_den = xs
+            fi = wrap_slice_indices(f0, frames, F)
+            si = scatter_idx[v_idx].reshape(-1)
+            wn = w_new.reshape(frames, -1, C)
+            wd = w_den.reshape(frames, -1, C)
+            acc = acc.at[fi[:, None], si[None, :], :].add(wn, mode="drop")
+            cnt = cnt.at[fi[:, None], si[None, :], :].add(
+                jnp.ones_like(wn[..., :1]), mode="drop"
+            )
+            dacc = dacc.at[fi[:, None], si[None, :], :].add(wd, mode="drop")
+            return (acc, cnt, dacc), None
+
+        (acc, cnt, dacc), _ = jax.lax.scan(
+            body, (acc, cnt, dacc), (pair_view, pair_f, new, den)
+        )
+        latent = normalize_accumulated(acc, cnt, tgt_flat).reshape(latent.shape)
+        denoised_buf = normalize_accumulated(dacc, cnt, den_flat).reshape(latent.shape)
+        return latent, denoised_buf
+
+    def body(carry, xs):
+        tgt, dbuf = carry
+        v_idx, f0, w_new, w_den = xs
+        fi = wrap_slice_indices(f0, frames, F)
+        si = scatter_idx[v_idx].reshape(-1)
+        wn = w_new.reshape(frames, -1, C)
+        wd = w_den.reshape(frames, -1, C)
+        tgt = tgt.at[fi[:, None], si[None, :], :].set(wn, mode="drop")
+        dbuf = dbuf.at[fi[:, None], si[None, :], :].set(wd, mode="drop")
+        return (tgt, dbuf), None
+
+    (tgt_flat, den_flat), _ = jax.lax.scan(
+        body, (tgt_flat, den_flat), (pair_view, pair_f, new, den)
+    )
+    return tgt_flat.reshape(latent.shape), den_flat.reshape(latent.shape)
+
+
+# ---------------------------------------------------------------------------
+# sampler
+# ---------------------------------------------------------------------------
+
+
+def sample_shift_sphere_panorama(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    pano_image: np.ndarray,  # [eq_h, eq_w, 3] in [-1, 1]
+    equirect_width: int,
+    equirect_height: int,
+    phi_theta_dict: Dict[float, Sequence[float]],
+    view_fov: float = 120,
+    loop_step_theta: int = 10,
+    phi_prompt_dict: Optional[Dict[float, str]] = None,
+    total_f: Optional[int] = None,
+    dock_at_f: bool = False,
+    overlap_ratio_list_f: Optional[Sequence[float]] = None,
+    loop_step_frame: Optional[int] = None,
+    height: int = 320,
+    width: int = 512,
+    frames: int = 16,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    num_inference_steps: int = 48,
+    denoise_to_step: Optional[int] = None,
+    paste_on_static: bool = True,
+    merge_renoised_overlap_latent_ratio: Optional[float] = 1.0,
+    merge_prev_denoised_ratio_list: Optional[Sequence[float]] = None,
+    use_skip_time: bool = False,
+    skip_time_step_idx: Optional[int] = None,
+    progressive_skip: bool = False,
+    init_sphere_latent: Optional[jnp.ndarray] = None,
+    downsample_factor_before_vae_decode: Optional[float] = None,
+    overlap_mode: str = "last",
+    unet_microbatch: int = 0,
+    use_image_cond: Optional[bool] = None,
+    key: Optional[jax.Array] = None,
+    decode: bool = False,
+    params=None,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Sphere panorama shift-window sampling.
+
+    Returns (video or None, final latent, denoised latent), each
+    ``[1, total_f, eq_h/vs, eq_w/vs, C]``.
+
+    ``use_image_cond`` defaults to whether the model has an image encoder
+    (i2v); the t2v variant (t2v_sphere_panorama_pipeline.py:24) is the same
+    algorithm with text-only conditioning.
+    """
+    assert key is not None
+    assert equirect_width == 2 * equirect_height, "equirect requires W = 2H"
+    sched = make_schedule_for_model(model, num_inference_steps)
+    vs = model.config.vae.spatial_scale
+    lat_h, lat_w = height // vs, width // vs
+    eq_lat_h, eq_lat_w = equirect_height // vs, equirect_width // vs
+    total_f = total_f or frames
+    S = num_inference_steps
+    if use_image_cond is None:
+        use_image_cond = model.image_encoder is not None
+
+    # ---- per-phase view maps + conditioning -------------------------------
+    phase_views = sphere_phase_views(phi_theta_dict, loop_step_theta, view_fov)
+    maps = _phase_view_maps(phase_views, view_fov, lat_h, lat_w, eq_lat_h, eq_lat_w)
+
+    text_cache: dict = {}
+    phase_ctx: Dict[int, jnp.ndarray] = {}
+    for phase, views in phase_views.items():
+        prompts = [
+            (phi_prompt_dict.get(phi, prompt) if phi_prompt_dict else prompt)
+            for (phi, _) in views
+        ]
+        text_embs = encode_texts_cached(model, prompts, text_cache)
+        if use_image_cond:
+            # per-view cond image: perspective crop of the pano image at full
+            # view resolution (i2v_sphere_panorama_pipeline.py:367-376)
+            crops = []
+            for (phi, theta) in views:
+                sv = make_sphere_view(
+                    view_fov, theta, phi, height, width, equirect_height, equirect_width
+                )
+                crop = pano_image.reshape(-1, 3)[sv.gather_idx.reshape(-1).clip(0)]
+                crop = crop.reshape(height, width, 3) * sv.valid[..., None]
+                crops.append(crop)
+            img_embs = model.encode_image_cond(jnp.asarray(np.stack(crops)), params=params)
+            phase_ctx[phase] = cat_text_image(text_embs, img_embs)
+        else:
+            phase_ctx[phase] = text_embs
+
+    uncond = build_uncond_context(
+        model, with_image=use_image_cond, image_hw=(lat_h, lat_w)
+    )
+
+    # ---- clean static pano latent (cached once) ---------------------------
+    need_static = paste_on_static or use_skip_time
+    static_clean = (
+        tiled_vae_encode(model, jnp.asarray(pano_image), params=params)
+        if need_static
+        else jnp.zeros((1, 1, eq_lat_h, eq_lat_w, model.config.unet.in_channels))
+    )
+
+    # ---- init latent -------------------------------------------------------
+    k_init, k_run, k_noise = jax.random.split(key, 3)
+    skip = int(skip_time_step_idx or 0)
+    if init_sphere_latent is None:
+        latent = jax.random.normal(
+            k_init, (1, total_f, eq_lat_h, eq_lat_w, model.config.unet.in_channels)
+        )
+        if use_skip_time:
+            clean = jnp.tile(static_clean, (1, total_f, 1, 1, 1))
+            if progressive_skip:
+                steps_b = np.full((total_f,), S - 1, np.int32)
+                for frame_idx, pskip in enumerate(reversed(range(skip))):
+                    steps_b[frame_idx] = S - pskip - 1
+                noised = re_noise_per_frame(sched, clean, jnp.asarray(steps_b), key=k_noise)
+                sel = (np.arange(total_f) < skip)[None, :, None, None, None]
+                latent = jnp.where(jnp.asarray(sel), noised, latent)
+            else:
+                latent = re_noise(sched, clean, 0, S - 1, key=k_noise)
+    else:
+        latent = jnp.asarray(init_sphere_latent)
+
+    # ---- step loop ----------------------------------------------------------
+    steps_eff = S
+    if use_skip_time and not progressive_skip:
+        steps_eff -= skip
+    if denoise_to_step is not None:
+        steps_eff = min(steps_eff, denoise_to_step)
+
+    if overlap_ratio_list_f is None:
+        overlap_ratio_list_f = [0.5] * S
+
+    step_fn = jax.jit(
+        partial(
+            _sphere_step,
+            model=model,
+            frames=frames,
+            guidance=guidance_scale,
+            fps=fps,
+            mode=overlap_mode,
+            unet_microbatch=unet_microbatch,
+        ),
+        static_argnames=("use_renoise", "use_merge_prev", "paste_on_static"),
+    )
+
+    denoised = jnp.zeros_like(latent)
+    eq_pixels = eq_lat_h * eq_lat_w
+    for i in range(steps_eff):
+        # with skip the table index keeps counting from the truncated top
+        index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
+        phase = i % loop_step_theta
+        f_origins = frame_window_origins(
+            i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
+        )
+        views = phase_views[phase]
+        Nv = len(views)
+        pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
+        pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
+        masks = sphere_earlier_masks(
+            maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
+        )
+        ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
+        last = i == steps_eff - 1
+        use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last
+        use_mp = (merge_prev_denoised_ratio_list is not None) and not last
+        latent, denoised = step_fn(
+            params if params is not None else model.params,
+            sched,
+            latent,
+            denoised,
+            static_clean,
+            maps[phase]["gather"],
+            maps[phase]["scatter"],
+            maps[phase]["valid"],
+            jnp.asarray(f_origins, jnp.int32),
+            jnp.asarray(pair_view),
+            jnp.asarray(pair_f),
+            jnp.asarray(masks),
+            ctx,
+            uncond,
+            jnp.asarray(int(sched.ddim_timesteps[index]), jnp.int32),
+            jnp.asarray(index, jnp.int32),
+            jnp.asarray(
+                0.0 if merge_renoised_overlap_latent_ratio is None
+                else float(merge_renoised_overlap_latent_ratio)
+            ),
+            jnp.asarray(
+                0.0 if not use_mp else float(merge_prev_denoised_ratio_list[i])
+            ),
+            jax.random.fold_in(k_run, i),
+            use_renoise=use_ren,
+            use_merge_prev=use_mp,
+            paste_on_static=bool(paste_on_static and not last),
+        )
+
+    # ---- decode -------------------------------------------------------------
+    out_latent, out_denoised = latent, denoised
+    if downsample_factor_before_vae_decode and downsample_factor_before_vae_decode != 1:
+        th = int(eq_lat_h // downsample_factor_before_vae_decode)
+        tw = int(eq_lat_w // downsample_factor_before_vae_decode)
+        out_latent = resize_video_latent(out_latent, th, tw, mode="nearest")
+        out_denoised = resize_video_latent(out_denoised, th, tw, mode="nearest")
+
+    video = model.decode_video_chunked(out_denoised, params=params) if decode else None
+    return video, out_latent, out_denoised

@@ -1,0 +1,62 @@
+"""Host-side image/video IO (not on the accelerator).
+
+Reference: utils/tensor_utils.py:7-16 (image load), utils/loop_merge_utils.py
+(mp4 save), pipeline `_load_imgs_from_paths`. PIL replaces cv2 for resizing
+(bilinear; visually identical).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from PIL import Image
+
+
+def load_image(path: str, height: int, width: int, norm_to_1: bool = True) -> np.ndarray:
+    """Load an image as float32 [H, W, 3]; range [-1, 1] when norm_to_1."""
+    img = Image.open(path).convert("RGB")
+    img = img.resize((width, height), Image.BILINEAR)
+    arr = np.asarray(img, np.float32)
+    if norm_to_1:
+        arr = (arr / 255.0 - 0.5) * 2
+    return arr
+
+
+def to_uint8_frames(video: np.ndarray) -> np.ndarray:
+    """[F, H, W, 3] float in [-1, 1] -> uint8."""
+    v = np.clip(video, -1.0, 1.0)
+    v = ((v + 1.0) / 2.0 * 255.0).astype(np.uint8)
+    return v
+
+
+def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int = 16,
+               save_mp4: bool = True, save_gif: bool = False) -> Optional[str]:
+    """[F, H, W, 3] in [-1, 1] -> mp4 (and/or gif) via imageio
+    (utils/loop_merge_utils.py:22-36)."""
+    os.makedirs(output_path, exist_ok=True)
+    frames = list(to_uint8_frames(video))
+    saved = None
+    import imageio
+
+    if save_mp4:
+        saved = os.path.join(output_path, f"{output_name}.mp4")
+        imageio.mimsave(saved, frames, fps=fps)
+    if save_gif:
+        gif = os.path.join(output_path, f"{output_name}.gif")
+        imageio.mimsave(gif, frames, fps=fps)
+        saved = saved or gif
+    return saved
+
+
+def save_latent(latent, path: str):
+    """Stage checkpoint: save a latent as .npy (resume artifact, the
+    reference torch.save's latents, gen_pano_360.py:275,326,390)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, np.asarray(latent))
+
+
+def load_latent(path: str) -> np.ndarray:
+    return np.load(path)
