@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests on the tiny model (CPU).
+
+These are behavioral gates, not numerics (random weights): shapes, finiteness,
+determinism under fixed keys, overlap-mode semantics, engine equivalences.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion, tiny_test_config
+from dynamicscaler_tpu.utils.tokenizer import HashTokenizer
+from dynamicscaler_tpu.pipelines import i2v, sphere, t2v
+from dynamicscaler_tpu.pipelines.planar import earlier_coverage_masks
+from dynamicscaler_tpu.pipelines.tiled_vae import ring_aware_decode, tiled_vae_encode
+
+
+@pytest.fixture(scope="module")
+def t2v_model():
+    return LatentVideoDiffusion.init_random(
+        tiny_test_config(img_attention=False), jax.random.PRNGKey(0),
+        tokenizer=HashTokenizer(512),
+    )
+
+
+@pytest.fixture(scope="module")
+def i2v_model():
+    return LatentVideoDiffusion.init_random(
+        tiny_test_config(img_attention=True), jax.random.PRNGKey(0),
+        tokenizer=HashTokenizer(512),
+    )
+
+
+def test_basic_sample_deterministic(t2v_model):
+    kwargs = dict(height=32, width=32, frames=4, num_inference_steps=3,
+                  key=jax.random.PRNGKey(7), decode=False)
+    _, d1 = t2v.basic_sample(t2v_model, "a swan", **kwargs)
+    _, d2 = t2v.basic_sample(t2v_model, "a swan", **kwargs)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # NOTE: prompt sensitivity cannot be asserted at random init — the
+    # spatial transformers' proj_out layers are zero-init (matching the
+    # reference), so context contributes exactly 0 until real weights load.
+    kwargs["key"] = jax.random.PRNGKey(8)
+    _, d3 = t2v.basic_sample(t2v_model, "a swan", **kwargs)
+    assert np.abs(np.asarray(d1) - np.asarray(d3)).max() > 0
+
+
+def test_shift_windows_covers_everything(t2v_model):
+    """Every latent position must be written by the final step (no stale
+    noise regions)."""
+    _, den = t2v.sample_shift_multi_windows(
+        t2v_model, "x", num_windows_w=2, num_windows_h=2, height=32, width=32,
+        frames=4, num_inference_steps=2, loop_step=2, decode=False,
+        key=jax.random.PRNGKey(1),
+    )
+    assert den.shape == (1, 4, 32, 32, 4)
+    # denoised buffer starts at zero; all positions must have been scattered
+    assert float(jnp.min(jnp.abs(den))) >= 0  # trivially true
+    assert not bool(jnp.any(jnp.all(den == 0, axis=(0, 1, 4))))
+
+
+def test_earlier_coverage_masks_semantics():
+    origins = [(0, 0, 0), (0, 0, 4), (0, 0, 8)]
+    masks = earlier_coverage_masks(origins, (2, 4, 8), (2, 4, 12))
+    # window 0 sees nothing covered
+    assert masks[0].sum() == 0
+    # window 1 at w=4 overlaps window 0 on w=[4,8) -> first 4 of its 8 cols
+    np.testing.assert_array_equal(masks[1][..., 0][:, :, :4], 1.0)
+    np.testing.assert_array_equal(masks[1][..., 0][:, :, 4:], 0.0)
+    # window 2 at w=8 wraps to [8,12)+[0,4): overlaps w0 on [0,4) (its cols 4:)
+    np.testing.assert_array_equal(masks[2][..., 0][:, :, 4:], 1.0)
+    # and its cols 0:4 map to w=[8,12): covered by window 1 ([4,12))
+    np.testing.assert_array_equal(masks[2][..., 0][:, :, :4], 1.0)
+
+
+def test_i2v_planar_shapes_and_finite(i2v_model):
+    pano = np.zeros((32, 64, 3), np.float32)
+    video, den = i2v.sample_shift_multi_windows(
+        i2v_model, "pano", pano, total_w=64, total_h=32, total_f=4,
+        num_windows_w=4, num_windows_h=2, loop_step=2,
+        height=16, width=16, frames=4, num_inference_steps=3,
+        key=jax.random.PRNGKey(3),
+    )
+    assert video.shape == (1, 4, 32, 64, 3)
+    assert bool(jnp.isfinite(video).all())
+
+
+def test_sphere_pipeline_paste_on_static(i2v_model):
+    pano = np.zeros((32, 64, 3), np.float32)
+    grid = {0.0: [0.0, 120.0, 240.0], 60.0: [0.0, 180.0], -60.0: [0.0, 180.0]}
+    _, lat, den = sphere.sample_shift_sphere_panorama(
+        i2v_model, "ocean", pano, equirect_width=64, equirect_height=32,
+        phi_theta_dict=grid, view_fov=110, loop_step_theta=2,
+        total_f=4, height=16, width=16, frames=4, num_inference_steps=3,
+        paste_on_static=True, key=jax.random.PRNGKey(4),
+    )
+    assert lat.shape == (1, 4, 16, 32, 4)
+    assert bool(jnp.isfinite(lat).all()) and bool(jnp.isfinite(den).all())
+
+
+def test_tiled_vae_encode_matches_direct(i2v_model):
+    """Tiled encode with large overlap == direct encode (same conv field)."""
+    img = jnp.asarray(
+        np.random.default_rng(0).standard_normal((32, 64, 3)).astype(np.float32) * 0.2
+    )
+    direct = i2v_model.encode_video(img[None, None])
+    tiled = tiled_vae_encode(i2v_model, img, h_tiles=2, w_tiles=2, overlap_latent=8)
+    # per-tile GroupNorm statistics make tiled != direct (inherent, true of
+    # the reference too); require high agreement, not bit equality
+    d, t = np.asarray(direct)[0, 0], np.asarray(tiled)[0, 0]
+    corr = np.corrcoef(d.ravel(), t.ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(d - t).mean() < 0.05
+
+
+def test_ring_aware_decode_shape(i2v_model):
+    lat = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 2, 16, 32, 4)).astype(np.float32)
+    )
+    video = ring_aware_decode(i2v_model, lat, halo_chunks=16)
+    assert video.shape == (1, 2, 32, 64, 3)
+
+
+def test_ring_decode_seam_continuity(i2v_model):
+    """Rolling the ring latent by half must commute with decode away from
+    borders — the wrap-padded decode treats W as a true ring."""
+    lat = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 1, 16, 32, 4)).astype(np.float32)
+    )
+    v1 = np.asarray(ring_aware_decode(i2v_model, lat, halo_chunks=16))
+    v2 = np.asarray(ring_aware_decode(i2v_model, jnp.roll(lat, 16, axis=3), halo_chunks=16))
+    # decode is not exactly shift-equivariant (whole-frame GroupNorm stats +
+    # global VAE mid-attention see different halo content); require the
+    # fields to agree closely on average
+    d = np.abs(np.roll(v1, 32, axis=3) - v2)
+    assert d.mean() < 0.02, d.mean()
+    assert np.corrcoef(np.roll(v1, 32, axis=3).ravel(), v2.ravel())[0, 1] > 0.99
