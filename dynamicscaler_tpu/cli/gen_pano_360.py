@@ -1,0 +1,334 @@
+"""360° panorama video generation CLI — the ``gen_pano_360.py`` equivalent.
+
+Same flag surface and three-stage orchestration as the reference entry point
+(gen_pano_360.py:22-128 ``VArgs``, :130-396 ``main``):
+
+  1. sphere panorama shift-window denoise at 2x equirect (15 of 48 steps),
+  2. nearest-downsample to 1x, planar 2x2 shift-window denoise (skip 15),
+  3. bicubic-upsample x2, re-noise, planar 4x4 shift-window denoise,
+
+with stage latents checkpointed to .npy (resume via --predenoised_* flags)
+and mp4 output.
+
+Run: ``python -m dynamicscaler_tpu.cli.gen_pano_360 --ckpt_path ... ``
+(add ``--dev_tiny`` to smoke-test the full orchestration with a tiny random
+model and no checkpoint assets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+DEFAULT_PHI_PROMPT = {
+    90: "Clear light blue sky",
+    75: "Clear light blue sky",
+    60: "Clear light blue sky",
+    45: "Massive green blue ocean wave, dynamic ocean spray, breaking waves",
+    0: "Massive green blue ocean wave, dynamic ocean spray, breaking waves",
+    -45: "green blue ocean with waves and swirling foam patterns",
+    -60: "green blue ocean with waves",
+    -75: "green blue ocean water",
+    -90: "green blue ocean water",
+}
+
+
+@dataclasses.dataclass
+class VArgs:
+    """CLI flags (reference gen_pano_360.py:22-85; flags auto-generated)."""
+
+    seed: int = 2333333
+    prompt: str = "Massive green blue ocean wave, dynamic ocean spray, breaking waves"
+    pano_image_path: str = "./input/pano.png"
+    phi_prompt_json: str = ""  # optional JSON {phi: prompt}
+
+    total_f: int = 16
+    do_upscale: bool = True
+    upscale_factor: int = 2
+
+    phi_num: int = 6
+    view_fov: int = 120
+    denoise_to_step: int = 15
+    skip_time_step: int = -1
+    loop_step_theta: int = 10
+    predenoised_SP_latent_path: str = ""
+    predenoised_SW_1x_latent_path: str = ""
+    dock_at_f: bool = True
+    loop_step_frame: int = 8
+    skip_1x: bool = False
+    loop_step_hw: int = 16
+    merge_renoised_overlap_latent_ratio: float = 1.0
+    merge_denoised: bool = True
+    max_merge_denoised_overlap_latent_ratio: float = 0.5
+    merge_prev_step: int = 20
+
+    num_inference_steps: int = 48
+    height: int = 320
+    width: int = 512
+    fps: int = 8
+    guidance_scale: float = 7.5
+    equirect_width: int = 1024
+    equirect_height: int = 512
+    num_windows_hw_2: int = 2
+    # optional per-axis overrides for stage 2/3 window counts (0 = use hw_2)
+    num_windows_w_2: int = 0
+    num_windows_h_2: int = 0
+
+    ckpt_path: str = "./videocrafter_models/i2v_512_v1/model.ckpt"
+    bpe_path: str = ""
+    output_dir: str = "./results"
+    project_name: str = ""
+    overlap_mode: str = "last"
+    unet_microbatch: int = 0
+    dtype: str = "bfloat16"
+    save_latents: bool = True
+    dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
+
+    @classmethod
+    def from_args(cls, argv=None) -> "VArgs":
+        parser = argparse.ArgumentParser(description=__doc__)
+        for f in dataclasses.fields(cls):
+            if f.type in ("bool", bool):
+                parser.add_argument(
+                    f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                    default=f.default,
+                )
+            else:
+                parser.add_argument(f"--{f.name}", type=type(f.default), default=f.default)
+        return cls(**vars(parser.parse_args(argv)))
+
+
+def build_model(vargs: VArgs):
+    import jax
+
+    from dynamicscaler_tpu.config import videocrafter_i2v
+    from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion, tiny_test_config
+    from dynamicscaler_tpu.utils.tokenizer import load_tokenizer, HashTokenizer
+
+    if vargs.dev_tiny:
+        model = LatentVideoDiffusion.init_random(
+            tiny_test_config(img_attention=True),
+            jax.random.PRNGKey(vargs.seed % (2**31)),
+            tokenizer=HashTokenizer(512),
+        )
+        return model
+
+    from dynamicscaler_tpu.utils.weights import load_videocrafter_checkpoint
+
+    config = videocrafter_i2v(dtype=vargs.dtype)
+    assert os.path.exists(vargs.ckpt_path), f"checkpoint not found: {vargs.ckpt_path}"
+    params = load_videocrafter_checkpoint(vargs.ckpt_path, config)
+    tokenizer = load_tokenizer(vargs.bpe_path or None)
+    return LatentVideoDiffusion(config=config, params=params, tokenizer=tokenizer)
+
+
+def main(vargs: VArgs):
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicscaler_tpu.core.windows import default_phi_theta_grid
+    from dynamicscaler_tpu.ops.ddim import re_noise
+    from dynamicscaler_tpu.ops.resize import resize_video_latent
+    from dynamicscaler_tpu.pipelines import i2v, sphere
+    from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
+    from dynamicscaler_tpu.utils.io import load_image, save_latent, save_video
+
+    t_start = time.time()
+    if vargs.dev_tiny:
+        # shrink all geometry to the tiny model (smoke/orchestration test)
+        vargs = dataclasses.replace(
+            vargs,
+            height=16, width=16, total_f=4,
+            equirect_width=64, equirect_height=32,
+            num_inference_steps=4, denoise_to_step=3,
+            loop_step_theta=2, loop_step_hw=2, loop_step_frame=2,
+            phi_num=3, view_fov=110, merge_prev_step=2,
+            upscale_factor=2, num_windows_w_2=4, num_windows_h_2=2,
+        )
+    key = jax.random.PRNGKey(vargs.seed % (2**31))
+    model = build_model(vargs)
+    vs = model.config.vae.spatial_scale
+
+    out_dir = os.path.join(
+        vargs.output_dir,
+        vargs.project_name or time.strftime("pano-%Y%m%d-%H%M%S"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "args.json"), "w") as f:
+        json.dump(dataclasses.asdict(vargs), f, indent=2)
+
+    # view grid (gen_pano_360.py:444-455)
+    thetas = [360 * t // vargs.phi_num for t in range(vargs.phi_num)]
+    phi_theta_dict = {
+        90: [0], -90: [0],
+        75: thetas, -75: thetas, 60: thetas, -60: thetas,
+        45: thetas, -45: thetas, 0: thetas,
+    }
+    phi_prompt_dict = (
+        {float(k): v for k, v in json.loads(vargs.phi_prompt_json).items()}
+        if vargs.phi_prompt_json
+        else {float(k): v for k, v in DEFAULT_PHI_PROMPT.items()}
+    )
+
+    S = vargs.num_inference_steps
+    # per-step frame-overlap schedules (gen_pano_360.py:477-485)
+    ov_org = [0.75, 0.5]
+    overlap_list_f = [ov_org[i * len(ov_org) // S] for i in range(S)]
+    merge_prev_list = (
+        [
+            vargs.max_merge_denoised_overlap_latent_ratio
+            * (1 - t / vargs.merge_prev_step)
+            for t in range(vargs.merge_prev_step)
+        ]
+        + [0.0] * (S - vargs.merge_prev_step)
+        if vargs.merge_denoised
+        else None
+    )
+
+    use_skip = vargs.skip_time_step >= 0
+    skip_idx = max(vargs.skip_time_step, 0)
+
+    eq_w, eq_h = vargs.equirect_width, vargs.equirect_height
+    nw_w2 = vargs.num_windows_w_2 or vargs.num_windows_hw_2
+    nw_h2 = vargs.num_windows_h_2 or vargs.num_windows_hw_2
+    sphere_scale = vargs.upscale_factor if vargs.skip_1x else 2
+    frames = 4 if vargs.dev_tiny else 16
+    common = dict(
+        height=vargs.height,
+        width=vargs.width,
+        frames=frames,
+        fps=vargs.fps,
+        guidance_scale=vargs.guidance_scale,
+        num_inference_steps=S,
+        total_f=vargs.total_f,
+        dock_at_f=vargs.dock_at_f,
+        overlap_ratio_list_f=overlap_list_f,
+        loop_step_frame=vargs.loop_step_frame,
+        merge_prev_denoised_ratio_list=merge_prev_list,
+        overlap_mode=vargs.overlap_mode,
+    )
+
+    # ---- STAGE 1: sphere panorama (gen_pano_360.py:227-272) ---------------
+    if vargs.predenoised_SP_latent_path:
+        print(f"[stage1] loading sphere latent from {vargs.predenoised_SP_latent_path}")
+        sphere_latent = jnp.asarray(np.load(vargs.predenoised_SP_latent_path))
+    else:
+        pano_big = load_image(
+            vargs.pano_image_path, eq_h * sphere_scale, eq_w * sphere_scale
+        )
+        print(f"[stage1] sphere pano denoise at {eq_w * sphere_scale}x{eq_h * sphere_scale}")
+        _, sphere_latent, _ = sphere.sample_shift_sphere_panorama(
+            model,
+            vargs.prompt,
+            pano_big,
+            equirect_width=eq_w * sphere_scale,
+            equirect_height=eq_h * sphere_scale,
+            phi_theta_dict=phi_theta_dict,
+            phi_prompt_dict=phi_prompt_dict,
+            view_fov=vargs.view_fov,
+            loop_step_theta=vargs.loop_step_theta,
+            denoise_to_step=vargs.denoise_to_step,
+            paste_on_static=True,
+            merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+            use_skip_time=use_skip,
+            skip_time_step_idx=skip_idx,
+            progressive_skip=use_skip,
+            unet_microbatch=vargs.unet_microbatch,
+            key=jax.random.fold_in(key, 1),
+            **common,
+        )
+        if vargs.save_latents:
+            save_latent(sphere_latent, os.path.join(out_dir, "sphere_SW_latent.npy"))
+    print(f"[stage1] done at {time.time() - t_start:.1f}s; latent {sphere_latent.shape}")
+
+    pano_1x = load_image(vargs.pano_image_path, eq_h, eq_w)
+
+    # ---- STAGE 2: planar 1x (gen_pano_360.py:287-329) ----------------------
+    basic_latent = None
+    if not vargs.skip_1x:
+        if vargs.predenoised_SW_1x_latent_path:
+            print(f"[stage2] loading 1x latent from {vargs.predenoised_SW_1x_latent_path}")
+            basic_latent = jnp.asarray(np.load(vargs.predenoised_SW_1x_latent_path))
+        else:
+            init_1x = resize_video_latent(
+                sphere_latent, eq_h // vs, eq_w // vs, mode="nearest"
+            )
+            print(f"[stage2] planar 1x denoise at {eq_w}x{eq_h}")
+            video_1x, basic_latent = i2v.sample_shift_multi_windows(
+                model,
+                vargs.prompt,
+                pano_1x,
+                total_w=eq_w,
+                total_h=eq_h,
+                num_windows_w=nw_w2,
+                num_windows_h=nw_h2,
+                loop_step=vargs.loop_step_hw,
+                init_panorama_latent=init_1x,
+                use_skip_time=True,
+                skip_time_step_idx=vargs.denoise_to_step,
+                progressive_skip=False,
+                merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+                unet_microbatch=vargs.unet_microbatch,
+                key=jax.random.fold_in(key, 2),
+                decode=True,
+                **common,
+            )
+            if vargs.save_latents:
+                save_latent(basic_latent, os.path.join(out_dir, "basic_SW_latent.npy"))
+            save_video(
+                np.asarray(video_1x[0]), out_dir, "shift_windows", fps=vargs.fps
+            )
+        print(f"[stage2] done at {time.time() - t_start:.1f}s")
+
+    # ---- STAGE 3: 2x upscale (gen_pano_360.py:345-392) ---------------------
+    if vargs.do_upscale:
+        uf = vargs.upscale_factor
+        if vargs.skip_1x:
+            mixed = sphere_latent
+        else:
+            sched = make_schedule_for_model(model, S)
+            up = resize_video_latent(
+                basic_latent, eq_h // vs * uf, eq_w // vs * uf, mode="bicubic"
+            )
+            mixed = re_noise(
+                sched, up, 0, S - vargs.denoise_to_step, key=jax.random.fold_in(key, 3)
+            )
+        pano_2x = load_image(vargs.pano_image_path, eq_h * uf, eq_w * uf)
+        print(f"[stage3] planar {uf}x upscale denoise at {eq_w * uf}x{eq_h * uf}")
+        video_2x, latent_2x = i2v.sample_shift_multi_windows(
+            model,
+            vargs.prompt,
+            pano_2x,
+            total_w=eq_w * uf,
+            total_h=eq_h * uf,
+            num_windows_w=nw_w2 * uf,
+            num_windows_h=nw_h2 * uf,
+            loop_step=vargs.loop_step_hw,
+            init_panorama_latent=mixed,
+            use_skip_time=True,
+            skip_time_step_idx=vargs.denoise_to_step,
+            progressive_skip=False,
+            merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+            unet_microbatch=vargs.unet_microbatch,
+            key=jax.random.fold_in(key, 4),
+            decode=True,
+            **common,
+        )
+        if vargs.save_latents:
+            save_latent(latent_2x, os.path.join(out_dir, "denoised_latent2x.npy"))
+        save_video(np.asarray(video_2x[0]), out_dir, "SW_2X", fps=vargs.fps)
+        print(f"[stage3] done at {time.time() - t_start:.1f}s")
+
+    print(f"[gen_pano_360] total {time.time() - t_start:.1f}s -> {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main(VArgs.from_args())

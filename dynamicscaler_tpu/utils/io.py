@@ -42,11 +42,20 @@ def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int =
     import imageio
 
     if save_mp4:
-        saved = os.path.join(output_path, f"{output_name}.mp4")
-        imageio.mimsave(saved, frames, fps=fps)
+        try:
+            saved = os.path.join(output_path, f"{output_name}.mp4")
+            imageio.mimsave(saved, frames, fps=fps)
+        except Exception as e:  # no ffmpeg backend in this environment
+            print(f"[save_video] mp4 backend unavailable ({e}); writing gif+frames")
+            saved = None
+            save_gif = True
+            frames_dir = os.path.join(output_path, f"{output_name}_frames")
+            os.makedirs(frames_dir, exist_ok=True)
+            for i, fr in enumerate(frames):
+                Image.fromarray(fr).save(os.path.join(frames_dir, f"{i:04d}.png"))
     if save_gif:
         gif = os.path.join(output_path, f"{output_name}.gif")
-        imageio.mimsave(gif, frames, fps=fps)
+        imageio.mimsave(gif, frames, duration=1000.0 / fps, loop=0)
         saved = saved or gif
     return saved
 
