@@ -186,6 +186,14 @@ class IntegerGrid:
     shift_jump_odd_w: bool = False
     shift_jump_odd_h: bool = False
     shift_jump_odd_f: bool = False
+    # t2v-style per-axis docking active only on steps in docking_step_range
+    # (t2v_normal_pipeline.py:481-522). NOTE: the reference's shift_jump_odd_h
+    # shifts the *left* offset and _w shifts *top* (swapped-axis bug at
+    # t2v_normal_pipeline.py:471-476); we apply each jump to its own axis.
+    docking_w: bool = False
+    docking_h: bool = False
+    docking_f: bool = False
+    docking_step_range: Optional[Tuple[int, ...]] = None
 
     @property
     def total_f(self):
@@ -210,25 +218,36 @@ class IntegerGrid:
         off_f = self._offset(step, self.win_f, self.shift_jump_odd_f) if self.num_windows_f > 1 else 0
         off_h = self._offset(step, self.win_h, self.shift_jump_odd_h) if self.num_windows_h > 1 else 0
         off_w = self._offset(step, self.win_w, self.shift_jump_odd_w) if self.num_windows_w > 1 else 0
+        dock_now = (
+            self.docking_step_range is not None and step in self.docking_step_range
+        )
+
+        def axis_positions(n, win, total, off, docking):
+            """Window start positions along one axis, in reference loop
+            order. On docking steps (t2v_normal_pipeline.py:481-522) the
+            docked axis prepends a window pinned to 0 and REPLACES its last
+            window with one pinned to the far edge."""
+            pos = [off + i * win for i in range(n)]
+            if docking and dock_now and n > 1:
+                pos = [0] + pos[:-1] + [total - win]
+            return pos
+
+        fs = axis_positions(self.num_windows_f, self.win_f, self.total_f, off_f, self.docking_f)
+        ws = axis_positions(self.num_windows_w, self.win_w, self.total_w, off_w, self.docking_w)
+        hs = axis_positions(self.num_windows_h, self.win_h, self.total_h, off_h, self.docking_h)
+
         origins = []
         # reference iteration order: f outer, then w, then h (h innermost) —
         # order matters for last-write-wins overlap (i2v_normal_pipeline.py:254)
-        for fi in range(self.num_windows_f):
-            for wi in range(self.num_windows_w):
-                for hi in range(self.num_windows_h):
-                    origins.append(
-                        (
-                            off_f + fi * self.win_f,
-                            off_h + hi * self.win_h,
-                            off_w + wi * self.win_w,
-                        )
-                    )
+        for f0 in fs:
+            for w0 in ws:
+                for h0 in hs:
+                    origins.append((f0, h0, w0))
+
         if self.dock_at_h and off_h != 0 and self.num_windows_h > 1:
             # pin top and bottom edges (i2v_normal_pipeline.py:275-313)
-            for fi in range(self.num_windows_f):
-                for wi in range(self.num_windows_w):
-                    f0 = off_f + fi * self.win_f
-                    w0 = off_w + wi * self.win_w
+            for f0 in fs:
+                for w0 in ws:
                     origins.append((f0, 0, w0))
                     origins.append((f0, self.total_h - self.win_h, w0))
         return origins

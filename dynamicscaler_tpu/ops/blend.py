@@ -26,6 +26,26 @@ def mix_with_mask(
     return latent_1 * (1.0 - mask) + mixed * mask
 
 
+def checkerboard_mix(cur: jnp.ndarray, residual: jnp.ndarray, ratio, parity) -> jnp.ndarray:
+    """Sparse residual merge on a step-parity checkerboard over (H, W)
+    (t2v_normal_pipeline.py:462-466 ``sparse_add_residual``): half the
+    pixels blend ``ratio*cur + (1-ratio)*residual`` each step, alternating
+    the lattice with ``parity`` so every pixel is refreshed every 2 steps.
+
+    The reference's torch indexing additionally reads ``cur`` from
+    *row-shifted* positions (an artifact of its strided assignment); here
+    the blend is in-place per pixel — the documented intent.
+
+    cur/residual: [B, F, H, W, C]; parity: traced int (step index).
+    """
+    B, F, H, W, C = cur.shape
+    hh = jnp.arange(H)[:, None]
+    ww = jnp.arange(W)[None, :]
+    checker = ((hh + ww + parity) % 2 == 0)[None, None, :, :, None]
+    mixed = ratio * cur + (1.0 - ratio) * residual
+    return jnp.where(checker, mixed, cur)
+
+
 def normalize_accumulated(accum: jnp.ndarray, count: jnp.ndarray, fallback: jnp.ndarray = None) -> jnp.ndarray:
     """Divide scatter-accumulated values by their hit counts; where count==0
     keep ``fallback`` (or zero). The commutative overlap-average used for

@@ -257,8 +257,11 @@ def re_noise(
     t_b = schedule.ddim_timesteps[step_b]
     acp_a = schedule.alphas_cumprod[t_a]
     acp_b = schedule.alphas_cumprod[t_b]
-    c = jnp.sqrt(acp_b / acp_a)
-    s = jnp.sqrt(1.0 - acp_b / acp_a)
+    # clamp: fused division can round a/a marginally above 1 under jit,
+    # which would put sqrt(1 - ratio) at NaN for step_a == step_b
+    ratio = jnp.clip(acp_b / acp_a, 0.0, 1.0)
+    c = jnp.sqrt(ratio)
+    s = jnp.sqrt(1.0 - ratio)
     if noise is None:
         noise = jax.random.normal(key, x_a.shape, x_a.dtype)
     return c * x_a + s * noise
@@ -283,8 +286,9 @@ def re_noise_per_frame(
     acp_b = schedule.alphas_cumprod[t_b]  # [F]
     shape = [1] * nd
     shape[frame_axis] = -1
-    c = jnp.sqrt(acp_b / acp_a).reshape(shape)
-    s = jnp.sqrt(1.0 - acp_b / acp_a).reshape(shape)
+    ratio = jnp.clip(acp_b / acp_a, 0.0, 1.0)
+    c = jnp.sqrt(ratio).reshape(shape)
+    s = jnp.sqrt(1.0 - ratio).reshape(shape)
     if noise is None:
         noise = jax.random.normal(key, x_a.shape, x_a.dtype)
     return c * x_a + s * noise

@@ -1,0 +1,123 @@
+"""FIFO diagonal denoising — streaming infinite video generation.
+
+The reference ships the machinery for this but never wires it up: its DDIM
+scheduler takes a per-frame index list (pipeline/scheduler.py:61-96) and the
+vendored T2V-Turbo scheduler has ``fifo_step`` (d_scheduler.py:465-545),
+imported only by a latent-encoding util. This module makes it a working
+sampler.
+
+Scheme (FIFO-Diffusion): keep a queue of ``frames`` latents at staggered
+DDIM indices ``[0, 1, ..., F-1]`` (front = cleanest). Each iteration runs
+ONE UNet forward with the per-frame index vector, emits the now-clean front
+frame, shifts the queue, and appends fresh noise at the back — so an
+arbitrarily long, temporally coherent stream costs one UNet call per output
+frame. The whole generation loop is a single jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
+from dynamicscaler_tpu.ops.ddim import DDIMSchedule, ddim_step, re_noise_per_frame
+from dynamicscaler_tpu.pipelines.conditioning import build_uncond_context
+from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "guidance_scale", "fps", "num_out_frames"),
+)
+def _fifo_loop(
+    params,
+    schedule: DDIMSchedule,
+    queue: jnp.ndarray,  # [1, F, h, w, C] staggered-noise queue
+    context: jnp.ndarray,
+    uncond: jnp.ndarray,
+    key: jax.Array,
+    *,
+    model: LatentVideoDiffusion,
+    guidance_scale: float,
+    fps: int,
+    num_out_frames: int,
+):
+    F = queue.shape[1]
+    indices = jnp.arange(F)  # front frame at index 0 (about to finish)
+    # per-frame DDPM timestep fed to the UNet: t of each frame's own index.
+    # The reference UNet receives a single scalar t; VideoCrafter tolerates
+    # per-sample t only. We feed the QUEUE-MEDIAN timestep (standard
+    # FIFO-Diffusion practice for models without per-frame t conditioning).
+    t_med = schedule.ddim_timesteps[F // 2]
+    ctx2 = jnp.concatenate([context, uncond], axis=0)
+
+    def body(carry, i):
+        queue, key = carry
+        key, k_noise = jax.random.split(key)
+        x2 = jnp.concatenate([queue, queue], axis=0)
+        eps = model.apply_unet(x2, jnp.full((2,), t_med), ctx2, fps, params=params)
+        eps = eps[1:] + guidance_scale * (eps[:1] - eps[1:])
+        stepped, denoised = ddim_step(schedule, queue, eps, indices)
+        out_frame = denoised[:, 0]
+        # shift: drop front, append pure noise at the back of the queue
+        fresh = jax.random.normal(k_noise, queue[:, :1].shape, queue.dtype)
+        queue = jnp.concatenate([stepped[:, 1:], fresh], axis=1)
+        return (queue, key), out_frame
+
+    (queue, _), frames = jax.lax.scan(body, (queue, key), jnp.arange(num_out_frames))
+    # frames: [num_out, 1, h, w, C] -> [1, num_out, h, w, C]
+    return jnp.swapaxes(frames, 0, 1), queue
+
+
+def fifo_sample(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    num_output_frames: int,
+    height: int = 320,
+    width: int = 512,
+    frames: Optional[int] = None,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    key: Optional[jax.Array] = None,
+    base_latent: Optional[jnp.ndarray] = None,
+    decode: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Generate a stream of ``num_output_frames`` via FIFO diagonal
+    denoising. Queue depth = ``frames`` (= number of DDIM steps each frame
+    receives). Returns (video or None, latent frames [1, N, h, w, C])."""
+    assert key is not None
+    frames = frames or model.config.unet.temporal_length
+    sched = make_schedule_for_model(model, frames)  # S == queue depth
+    vs = model.config.vae.spatial_scale
+    h, w = height // vs, width // vs
+
+    context = model.encode_text([prompt])
+    uncond = build_uncond_context(model, with_image=False)
+
+    k_init, k_run = jax.random.split(key)
+    if base_latent is None:
+        base = jax.random.normal(k_init, (1, frames, h, w, model.config.unet.in_channels))
+    else:
+        base = base_latent
+    # stagger: frame j re-noised to DDIM index j (front cleanest)
+    queue = re_noise_per_frame(
+        sched, base, jnp.arange(frames), key=jax.random.fold_in(k_init, 1)
+    )
+
+    frames_out, _ = _fifo_loop(
+        model.params,
+        sched,
+        queue,
+        context,
+        uncond,
+        k_run,
+        model=model,
+        guidance_scale=guidance_scale,
+        fps=fps,
+        num_out_frames=num_output_frames,
+    )
+    video = model.decode_video(frames_out) if decode else None
+    return video, frames_out

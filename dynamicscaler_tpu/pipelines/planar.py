@@ -116,12 +116,15 @@ class PlanarShiftWindowEngine:
         uncond_context: jnp.ndarray,  # [1, L, D]
         key: jax.Array,
         params=None,
+        pre_step=None,  # optional callable(latent, i, key) -> latent
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run the full window-denoise loop. Returns (latent, denoised)."""
         params = params if params is not None else self.model.params
         denoised = jnp.zeros_like(latent)
         for i, sp in enumerate(plan):
             step_key = jax.random.fold_in(key, i)
+            if pre_step is not None:
+                latent = pre_step(latent, i, jax.random.fold_in(step_key, 7))
             latent, denoised = self._step_fn(
                 params,
                 self.schedule,

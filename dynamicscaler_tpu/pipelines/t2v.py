@@ -143,9 +143,15 @@ def sample_shift_multi_windows(
     loop_step: Optional[int] = None,
     dock_at_h: bool = False,
     shift_jump_odd: Tuple[bool, bool, bool] = (False, False, False),
+    docking: Tuple[bool, bool, bool] = (False, False, False),  # (f, h, w)
+    docking_step_range: Optional[Sequence[int]] = None,
     merge_renoised_overlap_latent_ratio: Optional[float] = 1.0,
     merge_prev_denoised_ratio_list: Optional[Sequence[float]] = None,
+    merge_predenoise_ratio_list: Optional[Sequence[float]] = None,
+    sparse_add_residual: bool = True,
+    random_shuffle_init_frame_stride: int = 0,
     init_panorama_latent: Optional[jnp.ndarray] = None,
+    clear_pre_denoised_latent: Optional[jnp.ndarray] = None,
     use_pre_denoise: bool = False,
     pre_denoise_steps: int = 0,
     overlap_mode: str = "last",
@@ -181,6 +187,10 @@ def sample_shift_multi_windows(
         shift_jump_odd_f=shift_jump_odd[0],
         shift_jump_odd_h=shift_jump_odd[1],
         shift_jump_odd_w=shift_jump_odd[2],
+        docking_f=docking[0],
+        docking_h=docking[1],
+        docking_w=docking[2],
+        docking_step_range=None if docking_step_range is None else tuple(docking_step_range),
     )
     total_f, total_h, total_w = grid.total_f, grid.total_h, grid.total_w
 
@@ -188,25 +198,44 @@ def sample_shift_multi_windows(
     uncond = build_uncond_context(model, with_image=False)
 
     k_init, k_pre, k_run = jax.random.split(key, 3)
+    resized_residual = None
     if init_panorama_latent is None:
         latent = jax.random.normal(
             k_init, (1, total_f, total_h, total_w, model.config.unet.in_channels)
         )
+        if random_shuffle_init_frame_stride > 0:
+            # shuffle init-noise frames beyond the first window in strided
+            # groups (t2v_normal_pipeline.py:328-337; NOTE the reference's
+            # indexing shuffles the H axis — dim 3 of BCFHW — by accident;
+            # we shuffle frames, the documented intent)
+            rng = np.random.default_rng(int(jax.random.randint(k_init, (), 0, 2**31 - 1)))
+            order = np.arange(total_f)
+            stride = random_shuffle_init_frame_stride
+            for start in range(frames, total_f, stride):
+                n = min(stride, total_f - start)
+                src = order[start - frames : start - frames + n].copy()
+                rng.shuffle(src)
+                order[start : start + n] = src
+            latent = latent[:, order]
         if use_pre_denoise:
-            _, small = basic_sample(
-                model,
-                prompt,
-                height=height,
-                width=width,
-                frames=frames,
-                fps=fps,
-                guidance_scale=guidance_scale,
-                num_inference_steps=num_inference_steps,
-                key=k_pre,
-                decode=False,
-            )
+            if clear_pre_denoised_latent is not None:
+                small = clear_pre_denoised_latent
+            else:
+                _, small = basic_sample(
+                    model,
+                    prompt,
+                    height=height,
+                    width=width,
+                    frames=frames,
+                    fps=fps,
+                    guidance_scale=guidance_scale,
+                    num_inference_steps=num_inference_steps,
+                    key=k_pre,
+                    decode=False,
+                )
             big = resize_video_latent(small, total_h, total_w, mode="bicubic")
             big = jnp.tile(big, (1, num_windows_f, 1, 1, 1))[:, :total_f]
+            resized_residual = big
             latent = re_noise(
                 sched, big, 0, num_inference_steps - 1, key=jax.random.fold_in(k_pre, 1)
             )
@@ -245,6 +274,23 @@ def sample_shift_multi_windows(
         mesh=mesh,
         unet_microbatch=unet_microbatch,
     )
-    latent, denoised = engine.run(latent, plan, uncond, k_run)
+
+    pre_step = None
+    if use_pre_denoise and merge_predenoise_ratio_list is not None and resized_residual is not None:
+        from dynamicscaler_tpu.ops.blend import checkerboard_mix
+
+        residual = resized_residual
+
+        @jax.jit
+        def pre_step(latent, i, key):
+            # per-step residual re-anchoring (t2v_normal_pipeline.py:445-468)
+            ratio = jnp.asarray(merge_predenoise_ratio_list)[i]
+            index = S - 1 - i
+            noised = re_noise(sched, residual, 0, index, key=key)
+            if sparse_add_residual:
+                return checkerboard_mix(latent, noised, ratio, i)
+            return latent * ratio + noised * (1.0 - ratio)
+
+    latent, denoised = engine.run(latent, plan, uncond, k_run, pre_step=pre_step)
     video = model.decode_video(denoised) if decode else None
     return video, denoised
