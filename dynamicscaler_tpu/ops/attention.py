@@ -106,6 +106,16 @@ def _pallas_ok(q, k, bias, mask) -> bool:
     )
 
 
+# Measured on v5e (full i2v UNet fwd, window batch 8, N=2560, d=64):
+#   self-attn naive   -> 79.9 TFLOP/s effective   (XLA fuses the softmax
+#   self-attn chunked -> 62.5 TFLOP/s              chain; logits never fully
+#   self-attn pallas  -> 56.3 TFLOP/s              materialize)
+# so `auto` prefers the plain einsum up to a logits-size threshold and only
+# falls back to the chunked online-softmax for very large sequences (VAE
+# attention at panorama widths: N ~ 35k, logits would be GBs per head).
+_NAIVE_LOGITS_LIMIT = 16_777_216  # N*M elements per (batch, head)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -118,9 +128,7 @@ def attention(
     """Dispatching attention over [B, H, N/M, D]."""
     N, M = q.shape[2], k.shape[2]
     if impl == "auto":
-        if _pallas_ok(q, k, bias, mask):
-            impl = "pallas"
-        elif bias is None and mask is None and N * M > 4_194_304:
+        if bias is None and mask is None and N * M > _NAIVE_LOGITS_LIMIT:
             impl = "chunked"
         else:
             impl = "naive"

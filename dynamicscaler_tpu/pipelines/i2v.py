@@ -77,10 +77,161 @@ def _phase_contexts(
                 if window_multi_prompt_dict
                 else prompt
             )
-        img_embs = model.encode_image_cond(jnp.asarray(np.stack(crops)), params=params)
         text_embs = encode_texts_cached(model, prompts, text_cache)
-        contexts.append(cat_text_image(text_embs, img_embs))
+        if model.image_encoder is None:  # t2v planar variant: text-only cond
+            contexts.append(text_embs)
+        else:
+            img_embs = model.encode_image_cond(
+                jnp.asarray(np.stack(crops)), params=params
+            )
+            contexts.append(cat_text_image(text_embs, img_embs))
     return contexts
+
+
+
+def window_image_contexts(
+    model: LatentVideoDiffusion,
+    origins_hw,  # list of (h0, w0) latent origins
+    pano_image: np.ndarray,
+    prompt: str,
+    window_multi_prompt_dict,
+    view_height: int,
+    view_width: int,
+    total_h_img: int,
+    text_cache: dict,
+    params=None,
+) -> jnp.ndarray:
+    """[N, L, D] context for a list of spatial window origins: multi-prompt
+    text + CLIP embedding of the wrap-around pano-image crop per window."""
+    vs = model.config.vae.spatial_scale
+    crops, prompts = [], []
+    for (h0, w0) in origins_hw:
+        top, left = h0 * vs, w0 * vs
+        crops.append(ring_crop_image(pano_image, top, left, view_height, view_width))
+        factor = min(1.0, (top + view_height) / total_h_img)
+        prompts.append(
+            select_prompt_by_factor(window_multi_prompt_dict, factor)
+            if window_multi_prompt_dict
+            else prompt
+        )
+    text_embs = encode_texts_cached(model, prompts, text_cache)
+    if model.image_encoder is None:  # t2v planar variant: text-only cond
+        return text_embs
+    img_embs = model.encode_image_cond(jnp.asarray(np.stack(crops)), params=params)
+    return cat_text_image(text_embs, img_embs)
+
+
+def sample_shift_multi_windows_integer(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    pano_image: np.ndarray,  # [num_h*height, num_w*width, 3] in [-1, 1]
+    num_windows_w: int = 1,
+    num_windows_h: int = 1,
+    num_windows_f: int = 1,
+    loop_step: int = None,
+    height: int = 320,
+    width: int = 512,
+    frames: int = 16,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    num_inference_steps: int = 48,
+    dock_at_h: bool = False,
+    merge_renoised_overlap_latent_ratio: float = 1.0,
+    merge_prev_denoised_ratio_list=None,
+    init_panorama_latent=None,
+    use_skip_time: bool = False,
+    skip_time_step_idx=None,
+    progressive_skip: bool = False,
+    overlap_mode: str = "last",
+    mesh=None,
+    unet_microbatch: int = 0,
+    key=None,
+    decode: bool = True,
+    params=None,
+):
+    """Integer-grid i2v multi-window sampler (the reference's base i2v
+    pipeline, i2v_normal_pipeline.py:69-426): total = window * num_windows
+    per axis, whole-window step offsets, optional H docking, per-window
+    image cond from pano crops."""
+    assert key is not None
+    from dynamicscaler_tpu.core.windows import IntegerGrid
+
+    sched = make_schedule_for_model(model, num_inference_steps)
+    vs = model.config.vae.spatial_scale
+    wh, ww = height // vs, width // vs
+    loop_step = loop_step or num_inference_steps
+    grid = IntegerGrid(
+        win_f=frames, win_h=wh, win_w=ww,
+        num_windows_f=num_windows_f, num_windows_h=num_windows_h,
+        num_windows_w=num_windows_w, loop_step=loop_step, dock_at_h=dock_at_h,
+    )
+    total_f, th, tw = grid.total_f, grid.total_h, grid.total_w
+    assert pano_image.shape[:2] == (th * vs, tw * vs), (
+        f"pano image {pano_image.shape} != total {(th * vs, tw * vs)}"
+    )
+
+    text_cache: dict = {}
+    ctx_cache: dict = {}
+    uncond = build_uncond_context(model, image_hw=(wh, ww))
+
+    k_init, k_run, k_noise = jax.random.split(key, 3)
+    S = num_inference_steps
+    skip = int(skip_time_step_idx or 0)
+    if init_panorama_latent is None:
+        latent = jax.random.normal(
+            k_init, (1, total_f, th, tw, model.config.unet.in_channels)
+        )
+        if use_skip_time:
+            frame0 = tiled_vae_encode(model, jnp.asarray(pano_image), params=params)
+            clean = jnp.tile(frame0, (1, total_f, 1, 1, 1))
+            if progressive_skip:
+                steps_b = np.full((total_f,), S - 1, np.int32)
+                for frame_idx, pskip in enumerate(reversed(range(skip))):
+                    steps_b[frame_idx] = S - pskip - 1
+                noised = re_noise_per_frame(sched, clean, jnp.asarray(steps_b), key=k_noise)
+                sel = (np.arange(total_f) < skip)[None, :, None, None, None]
+                latent = jnp.where(jnp.asarray(sel), noised, latent)
+            else:
+                latent = re_noise(sched, clean, 0, S - 1, key=k_noise)
+    else:
+        latent = jnp.asarray(init_panorama_latent)
+
+    steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
+    plan: List[StepPlan] = []
+    for i in range(steps_eff):
+        index = steps_eff - 1 - i
+        origins = grid.step_origins(i)
+        hw_key = tuple((h0, w0) for (_, h0, w0) in origins)
+        if hw_key not in ctx_cache:
+            ctx_cache[hw_key] = window_image_contexts(
+                model, [(h0, w0) for (_, h0, w0) in origins], pano_image,
+                prompt, None, height, width, th * vs, text_cache, params=params,
+            )
+        masks = earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
+        last = i == steps_eff - 1
+        plan.append(
+            StepPlan(
+                t=int(sched.ddim_timesteps[index]),
+                index=index,
+                origins=np.asarray(origins, np.int32),
+                context=ctx_cache[hw_key],
+                earlier_mask=masks,
+                renoise_ratio=None if last or merge_renoised_overlap_latent_ratio is None
+                else float(merge_renoised_overlap_latent_ratio),
+                merge_prev_ratio=None
+                if last or merge_prev_denoised_ratio_list is None
+                else float(merge_prev_denoised_ratio_list[i]),
+            )
+        )
+
+    engine = PlanarShiftWindowEngine(
+        model, sched, (frames, wh, ww),
+        guidance_scale=guidance_scale, fps=fps, overlap_mode=overlap_mode,
+        mesh=mesh, unet_microbatch=unet_microbatch,
+    )
+    latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
+    video = ring_aware_decode(model, denoised, params=params) if decode else None
+    return video, denoised
 
 
 def sample_shift_multi_windows(
@@ -140,7 +291,9 @@ def sample_shift_multi_windows(
         model, grid, pano_image, prompt, window_multi_prompt_dict,
         height, width, text_cache, params=params,
     )
-    uncond = build_uncond_context(model, image_hw=(wh, ww))
+    uncond = build_uncond_context(
+        model, with_image=model.image_encoder is not None, image_hw=(wh, ww)
+    )
 
     # ---- init latent -------------------------------------------------------
     k_init, k_run, k_noise = jax.random.split(key, 3)

@@ -56,12 +56,16 @@ def _phase_view_maps(
     lat_w: int,
     eq_lat_h: int,
     eq_lat_w: int,
+    phi_fov_dict: Optional[Dict[float, float]] = None,
 ):
-    """Per phase: stacked latent-space gather/scatter index maps [Nv, h, w]."""
+    """Per phase: stacked latent-space gather/scatter index maps [Nv, h, w].
+    ``phi_fov_dict`` overrides the FOV per phi row
+    (t2v_sphere_panorama_pipeline.py:189-192)."""
+    fov_of = lambda phi: (phi_fov_dict or {}).get(phi, view_fov)
     out = {}
     for phase, views in phase_views.items():
         svs = [
-            make_sphere_view(view_fov, theta, phi, lat_h, lat_w, eq_lat_h, eq_lat_w)
+            make_sphere_view(fov_of(phi), theta, phi, lat_h, lat_w, eq_lat_h, eq_lat_w)
             for (phi, theta) in views
         ]
         out[phase] = dict(
@@ -255,6 +259,7 @@ def sample_shift_sphere_panorama(
     view_fov: float = 120,
     loop_step_theta: int = 10,
     phi_prompt_dict: Optional[Dict[float, str]] = None,
+    phi_fov_dict: Optional[Dict[float, float]] = None,
     total_f: Optional[int] = None,
     dock_at_f: bool = False,
     overlap_ratio_list_f: Optional[Sequence[float]] = None,
@@ -303,7 +308,9 @@ def sample_shift_sphere_panorama(
 
     # ---- per-phase view maps + conditioning -------------------------------
     phase_views = sphere_phase_views(phi_theta_dict, loop_step_theta, view_fov)
-    maps = _phase_view_maps(phase_views, view_fov, lat_h, lat_w, eq_lat_h, eq_lat_w)
+    maps = _phase_view_maps(
+        phase_views, view_fov, lat_h, lat_w, eq_lat_h, eq_lat_w, phi_fov_dict
+    )
 
     text_cache: dict = {}
     phase_ctx: Dict[int, jnp.ndarray] = {}
@@ -319,7 +326,8 @@ def sample_shift_sphere_panorama(
             crops = []
             for (phi, theta) in views:
                 sv = make_sphere_view(
-                    view_fov, theta, phi, height, width, equirect_height, equirect_width
+                    (phi_fov_dict or {}).get(phi, view_fov), theta, phi,
+                    height, width, equirect_height, equirect_width,
                 )
                 crop = pano_image.reshape(-1, 3)[sv.gather_idx.reshape(-1).clip(0)]
                 crop = crop.reshape(height, width, 3) * sv.valid[..., None]
