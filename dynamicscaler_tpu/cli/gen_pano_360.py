@@ -89,6 +89,7 @@ class VArgs:
     unet_microbatch: int = 0
     dtype: str = "bfloat16"
     save_latents: bool = True
+    profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
     dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
 
     @classmethod
@@ -224,6 +225,8 @@ def main(vargs: VArgs):
             vargs.pano_image_path, eq_h * sphere_scale, eq_w * sphere_scale
         )
         print(f"[stage1] sphere pano denoise at {eq_w * sphere_scale}x{eq_h * sphere_scale}")
+        if vargs.profile_dir:
+            jax.profiler.start_trace(vargs.profile_dir)
         _, sphere_latent, _ = sphere.sample_shift_sphere_panorama(
             model,
             vargs.prompt,
@@ -244,6 +247,10 @@ def main(vargs: VArgs):
             key=jax.random.fold_in(key, 1),
             **common,
         )
+        if vargs.profile_dir:
+            sphere_latent.block_until_ready()
+            jax.profiler.stop_trace()
+            print(f"[stage1] profiler trace -> {vargs.profile_dir}")
         if vargs.save_latents:
             save_latent(sphere_latent, os.path.join(out_dir, "sphere_SW_latent.npy"))
     print(f"[stage1] done at {time.time() - t_start:.1f}s; latent {sphere_latent.shape}")

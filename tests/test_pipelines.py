@@ -136,3 +136,44 @@ def test_ring_decode_seam_continuity(i2v_model):
     d = np.abs(np.roll(v1, 32, axis=3) - v2)
     assert d.mean() < 0.02, d.mean()
     assert np.corrcoef(np.roll(v1, 32, axis=3).ravel(), v2.ravel())[0, 1] > 0.99
+
+
+def test_fifo_streaming(t2v_model):
+    from dynamicscaler_tpu.pipelines.fifo import fifo_sample
+
+    _, lat = fifo_sample(
+        t2v_model, "stream", num_output_frames=6, height=32, width=32,
+        frames=4, key=jax.random.PRNGKey(9), decode=False,
+    )
+    assert lat.shape == (1, 6, 16, 16, 4)
+    assert bool(jnp.isfinite(lat).all())
+    # deterministic under the same key
+    _, lat2 = fifo_sample(
+        t2v_model, "stream", num_output_frames=6, height=32, width=32,
+        frames=4, key=jax.random.PRNGKey(9), decode=False,
+    )
+    np.testing.assert_array_equal(np.asarray(lat), np.asarray(lat2))
+
+
+def test_i2v_integer_grid_with_dock(i2v_model):
+    pano = np.zeros((32, 64, 3), np.float32)
+    video, den = i2v.sample_shift_multi_windows_integer(
+        i2v_model, "x", pano, num_windows_w=4, num_windows_h=2,
+        loop_step=2, height=16, width=16, frames=4,
+        num_inference_steps=3, dock_at_h=True, key=jax.random.PRNGKey(11),
+    )
+    assert den.shape == (1, 4, 16, 32, 4)
+    assert bool(jnp.isfinite(video).all())
+
+
+def test_t2v_sphere_text_only_with_fov(t2v_model):
+    pano = np.zeros((32, 64, 3), np.float32)
+    _, lat, den = sphere.sample_shift_sphere_panorama(
+        t2v_model, "x", pano, equirect_width=64, equirect_height=32,
+        phi_theta_dict={0.0: [0.0, 180.0], 60.0: [0.0]}, view_fov=110,
+        loop_step_theta=2, phi_fov_dict={60.0: 140.0},
+        total_f=4, height=16, width=16, frames=4, num_inference_steps=2,
+        paste_on_static=False, use_image_cond=False,
+        key=jax.random.PRNGKey(12),
+    )
+    assert bool(jnp.isfinite(lat).all())
