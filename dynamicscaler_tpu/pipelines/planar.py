@@ -107,6 +107,9 @@ class PlanarShiftWindowEngine:
                 unet_microbatch=unet_microbatch,
             ),
             static_argnames=("use_renoise", "use_merge_prev"),
+            # the previous step's latent/denoised buffers are dead after the
+            # call — donate them so giant panorama latents update in place
+            donate_argnums=(2, 3),
         )
 
     def run(
