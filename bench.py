@@ -29,6 +29,9 @@ TIMED_ITERS = 5
 
 
 def main():
+    from dynamicscaler_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dynamicscaler_tpu.config import videocrafter_i2v
     from dynamicscaler_tpu.models.unet3d import UNet3D
     from dynamicscaler_tpu.ops.ddim import ddim_step, make_ddim_schedule

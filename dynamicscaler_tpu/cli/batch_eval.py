@@ -43,7 +43,14 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _enable_cache():
+    from dynamicscaler_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def main(args):
+    _enable_cache()
     import jax
 
     from dynamicscaler_tpu.pipelines import t2v

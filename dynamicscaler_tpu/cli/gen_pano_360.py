@@ -130,7 +130,14 @@ def build_model(vargs: VArgs):
     return LatentVideoDiffusion(config=config, params=params, tokenizer=tokenizer)
 
 
+def _enable_cache():
+    from dynamicscaler_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def main(vargs: VArgs):
+    _enable_cache()
     import jax
     import jax.numpy as jnp
 
