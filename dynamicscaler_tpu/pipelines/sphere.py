@@ -33,7 +33,7 @@ from dynamicscaler_tpu.ops.ddim import DDIMSchedule, ddim_step, re_noise, re_noi
 from dynamicscaler_tpu.ops.blend import mix_with_mask, normalize_accumulated
 from dynamicscaler_tpu.ops.ring import wrap_slice_indices
 from dynamicscaler_tpu.ops.resize import resize_video_latent
-from dynamicscaler_tpu.ops.sphere import make_sphere_view, SphereView
+from dynamicscaler_tpu.ops.sphere import make_sphere_view, make_sphere_views, SphereView
 from dynamicscaler_tpu.pipelines.conditioning import (
     build_uncond_context,
     cat_text_image,
@@ -64,10 +64,10 @@ def _phase_view_maps(
     fov_of = lambda phi: (phi_fov_dict or {}).get(phi, view_fov)
     out = {}
     for phase, views in phase_views.items():
-        svs = [
-            make_sphere_view(fov_of(phi), theta, phi, lat_h, lat_w, eq_lat_h, eq_lat_w)
-            for (phi, theta) in views
-        ]
+        svs = make_sphere_views(
+            [(fov_of(phi), theta, phi) for (phi, theta) in views],
+            lat_h, lat_w, eq_lat_h, eq_lat_w,
+        )
         out[phase] = dict(
             gather=jnp.asarray(np.stack([v.gather_idx for v in svs])),
             scatter=jnp.asarray(np.stack([v.scatter_idx for v in svs])),
@@ -324,11 +324,11 @@ def sample_shift_sphere_panorama(
             # per-view cond image: perspective crop of the pano image at full
             # view resolution (i2v_sphere_panorama_pipeline.py:367-376)
             crops = []
-            for (phi, theta) in views:
-                sv = make_sphere_view(
-                    (phi_fov_dict or {}).get(phi, view_fov), theta, phi,
-                    height, width, equirect_height, equirect_width,
-                )
+            svs_img = make_sphere_views(
+                [((phi_fov_dict or {}).get(phi, view_fov), theta, phi) for (phi, theta) in views],
+                height, width, equirect_height, equirect_width,
+            )
+            for sv in svs_img:
                 crop = pano_image.reshape(-1, 3)[sv.gather_idx.reshape(-1).clip(0)]
                 crop = crop.reshape(height, width, 3) * sv.valid[..., None]
                 crops.append(crop)

@@ -146,3 +146,17 @@ def test_frame_ring_view_window(rng):
     )
     np.testing.assert_array_equal(got[:, 0], full[:, 4])
     np.testing.assert_array_equal(got[:, 2], full[:, 0])
+
+
+def test_make_sphere_views_batch_matches_single():
+    from dynamicscaler_tpu.ops.sphere import make_sphere_views
+
+    specs = [(90.0, 0.0, 0.0), (110.0, 60.0, -45.0), (120.0, 270.0, 67.5)]
+    batch = make_sphere_views(specs, 10, 12, 16, 32)
+    for spec, bv in zip(specs, batch):
+        sv = make_sphere_view(spec[0], spec[1], spec[2], 10, 12, 16, 32)
+        np.testing.assert_allclose(bv.u, sv.u, atol=2e-3)
+        np.testing.assert_allclose(bv.v, sv.v, atol=2e-3)
+        np.testing.assert_array_equal(bv.gather_idx, sv.gather_idx)
+        np.testing.assert_array_equal(bv.scatter_idx, sv.scatter_idx)
+        np.testing.assert_array_equal(bv.valid, sv.valid)
