@@ -123,6 +123,9 @@ class PlanarShiftWindowEngine:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run the full window-denoise loop. Returns (latent, denoised)."""
         params = params if params is not None else self.model.params
+        # step buffers are donated (in-place update chain); copy once so the
+        # caller's init latent stays valid
+        latent = jnp.array(latent, copy=True)
         denoised = jnp.zeros_like(latent)
         for i, sp in enumerate(plan):
             step_key = jax.random.fold_in(key, i)
