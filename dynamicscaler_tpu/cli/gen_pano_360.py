@@ -22,8 +22,6 @@ import dataclasses
 import json
 import os
 import time
-from typing import Dict, Optional
-
 import numpy as np
 
 
@@ -141,7 +139,6 @@ def main(vargs: VArgs):
     import jax
     import jax.numpy as jnp
 
-    from dynamicscaler_tpu.core.windows import default_phi_theta_grid
     from dynamicscaler_tpu.ops.ddim import re_noise
     from dynamicscaler_tpu.ops.resize import resize_video_latent
     from dynamicscaler_tpu.pipelines import i2v, sphere

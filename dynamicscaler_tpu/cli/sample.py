@@ -15,7 +15,6 @@ invocation) and the single-prompt path of the batch eval, as a plain CLI.
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 import numpy as np

@@ -9,8 +9,6 @@ LayerNorm eps 1e-5, exact (erf) GELU, sinusoidal timestep embedding with
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -11,7 +11,6 @@ pure function of (params, inputs) and jit-compiles. Video VAE encode/decode
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional
 
 import jax

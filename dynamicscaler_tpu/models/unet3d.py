@@ -27,7 +27,6 @@ import flax.linen as nn
 
 from dynamicscaler_tpu.config import UNetConfig
 from dynamicscaler_tpu.models.layers import (
-    Conv3DTemporal,
     GroupNorm32,
     MLPEmbed,
     timestep_embedding,

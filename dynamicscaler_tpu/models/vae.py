@@ -12,7 +12,7 @@ batch axis, so encode/decode of a clip is one batched conv program.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

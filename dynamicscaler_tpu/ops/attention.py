@@ -18,7 +18,6 @@ results within fp tolerance.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -11,7 +11,6 @@ program instead of a Python frame loop.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import numpy as np

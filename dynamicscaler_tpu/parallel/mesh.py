@@ -16,7 +16,7 @@ collectives.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

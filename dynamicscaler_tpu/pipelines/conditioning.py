@@ -12,7 +12,7 @@ precomputed context arrays.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ Reference: ``VC2_Pipeline_I2V_SpherePano.basic_sample_shift_shpere_panorama``
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -33,7 +32,7 @@ from dynamicscaler_tpu.ops.ddim import DDIMSchedule, ddim_step, re_noise, re_noi
 from dynamicscaler_tpu.ops.blend import mix_with_mask, normalize_accumulated
 from dynamicscaler_tpu.ops.ring import wrap_slice_indices
 from dynamicscaler_tpu.ops.resize import resize_video_latent
-from dynamicscaler_tpu.ops.sphere import make_sphere_view, make_sphere_views, SphereView
+from dynamicscaler_tpu.ops.sphere import make_sphere_views
 from dynamicscaler_tpu.pipelines.conditioning import (
     build_uncond_context,
     cat_text_image,

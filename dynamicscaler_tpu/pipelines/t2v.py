@@ -13,9 +13,8 @@ docking.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -30,7 +29,7 @@ from dynamicscaler_tpu.pipelines.planar import (
     StepPlan,
     earlier_coverage_masks,
 )
-from dynamicscaler_tpu.core.windows import IntegerGrid, frame_window_origins
+from dynamicscaler_tpu.core.windows import IntegerGrid
 
 
 def make_schedule_for_model(model: LatentVideoDiffusion, num_steps: int) -> DDIMSchedule:

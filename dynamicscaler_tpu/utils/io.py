@@ -8,7 +8,7 @@ Reference: utils/tensor_utils.py:7-16 (image load), utils/loop_merge_utils.py
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
