@@ -50,6 +50,31 @@ class LatentVideoDiffusion:
         self.resampler = (
             Resampler(self.config.resampler, dtype=dt) if self.config.resampler else None
         )
+        # jitted encoder/decoder entry points: un-jitted flax apply of the
+        # big towers costs ~3s of Python dispatch per call (measured) —
+        # retraces per input shape, cached thereafter
+        self._jit_text = jax.jit(
+            lambda p, toks: self.text_encoder.apply(p["clip_text"], toks)
+        )
+        if self.image_encoder is not None:
+            self._jit_img = jax.jit(
+                lambda p, imgs: self.resampler.apply(
+                    p["resampler"],
+                    self.image_encoder.apply(
+                        p["clip_vision"],
+                        clip_preprocess(imgs, self.config.clip_vision.image_size),
+                    ),
+                )
+            )
+        self._jit_vae_encode = jax.jit(
+            lambda p, x: self.vae.apply(p["vae"], x, None, method=AutoencoderKL.encode)
+        )
+        self._jit_vae_encode_sampled = jax.jit(
+            lambda p, x, key: self.vae.apply(p["vae"], x, key, method=AutoencoderKL.encode)
+        )
+        self._jit_vae_decode = jax.jit(
+            lambda p, z: self.vae.apply(p["vae"], z, method=AutoencoderKL.decode)
+        )
 
     # -- constructors -------------------------------------------------------
 
@@ -99,7 +124,7 @@ class LatentVideoDiffusion:
 
     def encode_text_tokens(self, tokens, params=None):
         p = params if params is not None else self.params
-        return self.text_encoder.apply(p["clip_text"], jnp.asarray(tokens))
+        return self._jit_text(p, jnp.asarray(tokens))
 
     def encode_text(self, texts, params=None):
         """Tokenize + encode (host tokenizer; reference
@@ -112,10 +137,7 @@ class LatentVideoDiffusion:
         (ddpm3d.py:689-693: embedder -> image_proj_model)."""
         p = params if params is not None else self.params
         assert self.image_encoder is not None, "t2v config has no image encoder"
-        feats = self.image_encoder.apply(
-            p["clip_vision"], clip_preprocess(images, self.config.clip_vision.image_size)
-        )
-        return self.resampler.apply(p["resampler"], feats)
+        return self._jit_img(p, images)
 
     def encode_video(self, video, key: Optional[jax.Array] = None, params=None):
         """[B, F, H, W, 3] in [-1,1] -> scaled latents [B, F, h, w, zc].
@@ -123,7 +145,10 @@ class LatentVideoDiffusion:
         p = params if params is not None else self.params
         B, F, H, W, C = video.shape
         flat = video.reshape(B * F, H, W, C)
-        z = self.vae.apply(p["vae"], flat, key, method=AutoencoderKL.encode)
+        if key is None:
+            z = self._jit_vae_encode(p, flat)
+        else:
+            z = self._jit_vae_encode_sampled(p, flat, key)
         return z.reshape(B, F, z.shape[1], z.shape[2], z.shape[3])
 
     def decode_video(self, latents, params=None):
@@ -131,7 +156,7 @@ class LatentVideoDiffusion:
         p = params if params is not None else self.params
         B, F, h, w, zc = latents.shape
         flat = latents.reshape(B * F, h, w, zc)
-        x = self.vae.apply(p["vae"], flat, method=AutoencoderKL.decode)
+        x = self._jit_vae_decode(p, flat)
         return x.reshape(B, F, x.shape[1], x.shape[2], x.shape[3])
 
     def decode_video_chunked(self, latents, frame_chunk: int = 1, params=None):

@@ -329,6 +329,8 @@ def sample_shift_multi_windows(
         overlap_ratio_list_f = [0.25] * S
     steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
     plan: List[StepPlan] = []
+    mask_cache: dict = {}
+    ctx_cache: dict = {}
     for i in range(steps_eff):
         index = steps_eff - 1 - i  # == full-table index (see module docs)
         phase = (i + begin_index_offset) % loop_step
@@ -337,8 +339,16 @@ def sample_shift_multi_windows(
             i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
         )
         origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
-        ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
-        masks = earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
+        okey = tuple(origins)
+        if okey not in mask_cache:
+            mask_cache[okey] = jnp.asarray(
+                earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
+            )
+        ck = (phase, len(f_origins))
+        if ck not in ctx_cache:
+            ctx_cache[ck] = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
+        ctx = ctx_cache[ck]
+        masks = mask_cache[okey]
         last = i == steps_eff - 1
         plan.append(
             StepPlan(

@@ -394,6 +394,7 @@ def sample_shift_sphere_panorama(
 
     denoised = jnp.zeros_like(latent)
     eq_pixels = eq_lat_h * eq_lat_w
+    mask_cache: Dict = {}
     for i in range(steps_eff):
         # with skip the table index keeps counting from the truncated top
         index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
@@ -405,9 +406,16 @@ def sample_shift_sphere_panorama(
         Nv = len(views)
         pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
         pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
-        masks = sphere_earlier_masks(
-            maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
-        )
+        mask_key = (phase, tuple(f_origins))
+        if mask_key not in mask_cache:
+            # masks depend only on (phase, frame windows) — compute + upload
+            # once per distinct combination, not per step (~90 MB each at 2x)
+            mask_cache[mask_key] = jnp.asarray(
+                sphere_earlier_masks(
+                    maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
+                )
+            )
+        masks = mask_cache[mask_key]
         ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
         last = i == steps_eff - 1
         use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last
@@ -424,7 +432,7 @@ def sample_shift_sphere_panorama(
             jnp.asarray(f_origins, jnp.int32),
             jnp.asarray(pair_view),
             jnp.asarray(pair_f),
-            jnp.asarray(masks),
+            masks,
             ctx,
             uncond,
             jnp.asarray(int(sched.ddim_timesteps[index]), jnp.int32),

@@ -243,11 +243,15 @@ def sample_shift_multi_windows(
 
     S = sched.num_ddim_steps
     plan: List[StepPlan] = []
+    mask_cache: dict = {}
     for i in range(S):
         origins = np.asarray(grid.step_origins(i), np.int32)
-        masks = earlier_coverage_masks(
-            [tuple(o) for o in origins], (frames, wh, ww), (total_f, total_h, total_w)
-        )
+        okey = tuple(map(tuple, origins))
+        if okey not in mask_cache:
+            mask_cache[okey] = jnp.asarray(earlier_coverage_masks(
+                list(okey), (frames, wh, ww), (total_f, total_h, total_w)
+            ))
+        masks = mask_cache[okey]
         last = i == S - 1
         plan.append(
             StepPlan(
