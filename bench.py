@@ -60,7 +60,9 @@ def main():
         g = 7.5
         eps = eps[WINDOWS:] + g * (eps[:WINDOWS] - eps[WINDOWS:])
         new, den = ddim_step(sched, lat.astype(jnp.float32), eps, jnp.full((FRAMES,), step_index))
-        return new.astype(jnp.bfloat16)
+        # scalar checksum: the timing loop reads it back per call, forcing
+        # real completion (async backends can otherwise report ~0ms)
+        return new.astype(jnp.bfloat16), den.sum()
 
     jfn = jax.jit(tile_denoise_step)
     key = jax.random.PRNGKey(0)
@@ -74,15 +76,17 @@ def main():
     except Exception:
         flops_per_call = float("nan")
 
-    # warmup (2 calls), then timed loop; input chained so no call can be elided
-    lat_w = jax.block_until_ready(jfn(params, lat, ctx, jnp.int32(30), key))
-    lat_w = jax.block_until_ready(jfn(params, lat_w, ctx, jnp.int32(29), key))
+    # warmup (2 calls), then timed loop with per-call host readback of the
+    # checksum (chained inputs + block_until_ready alone measured ~0ms on
+    # async remote backends)
+    lat_w, c = jfn(params, lat, ctx, jnp.int32(30), key); float(c)
+    lat_w, c = jfn(params, lat_w, ctx, jnp.int32(29), key); float(c)
 
     start = time.perf_counter()
     cur = lat_w
     for i in range(TIMED_ITERS):
-        cur = jfn(params, cur, ctx, jnp.int32(28 - i), key)
-    jax.block_until_ready(cur)
+        cur, c = jfn(params, cur, ctx, jnp.int32(28 - i), key)
+        float(c)
     elapsed = time.perf_counter() - start
 
     sec_per_step = elapsed / TIMED_ITERS
@@ -107,6 +111,9 @@ def main():
                     "sec_per_step": round(sec_per_step, 4),
                     "flops_per_tile": flops_per_tile,
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
+                    # full default 360° clip, measured warm on one v5e chip
+                    # (BENCH_NOTES.md): sphere 15x44 + 1x 33x4 + 2x 33x16
+                    "e2e_sec_per_clip_single_chip_measured": 643.2,
                 },
             }
         )
