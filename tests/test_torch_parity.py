@@ -249,3 +249,59 @@ def test_clip_block_packing_vs_torch_mha():
         ref, _ = tm(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x))
     got = MHA(width, heads).apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_unet_parity_level_without_attention():
+    """The real config's deepest level (ds=8) has no transformers; cover
+    that branch numerically (attn only at ds=1 here)."""
+    from lvdm.modules.networks.openaimodel3d import UNetModel
+
+    kw = dict(TINY, attention_resolutions=[1], use_image_attention=False)
+    m = UNetModel(**kw)
+    m.eval()
+    cfg = UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=64,
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,),
+        temporal_length=4, use_image_attention=False,
+    )
+    params = W.convert_unet(m.state_dict(), cfg)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 4, 4, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 77, 64)).astype(np.float32)
+    t = np.array([321], np.int64)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x), torch.from_numpy(t), context=torch.from_numpy(ctx), fps=16).numpy()
+    got = UNet3D(cfg).apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), jnp.asarray(t), jnp.asarray(ctx), 16
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_unet_parity_relative_position():
+    """Temporal relative-position bias branch (config off by default but a
+    reference capability, attention.py:21-40,94-113)."""
+    from lvdm.modules.networks.openaimodel3d import UNetModel
+
+    kw = dict(TINY, use_relative_position=True, use_image_attention=False)
+    m = UNetModel(**kw)
+    m.eval()
+    cfg = UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=64,
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1, 2),
+        temporal_length=4, use_relative_position=True, use_image_attention=False,
+    )
+    params = W.convert_unet(m.state_dict(), cfg)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 4, 4, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 77, 64)).astype(np.float32)
+    t = np.array([77], np.int64)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x), torch.from_numpy(t), context=torch.from_numpy(ctx), fps=16).numpy()
+    got = UNet3D(cfg).apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), jnp.asarray(t), jnp.asarray(ctx), 16
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=3e-4, rtol=1e-3
+    )
