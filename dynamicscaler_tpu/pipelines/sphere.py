@@ -136,6 +136,7 @@ def _sphere_step(
     use_merge_prev: bool,
     paste_on_static: bool,
     unet_microbatch: int = 0,
+    mesh=None,
 ):
     B, F, EH, EW, C = latent.shape
     Nw = pair_view.shape[0]
@@ -161,12 +162,15 @@ def _sphere_step(
         n = x.shape[0]
         return model.apply_unet(x, jnp.full((n,), t), ctx, fps, params=params)
 
+    from dynamicscaler_tpu.parallel.mesh import constrain_window_batch
+
     if guidance != 1.0:
         x_all = jnp.concatenate([wins, wins], axis=0)
         uc = jnp.broadcast_to(uncond_context, (Nw,) + uncond_context.shape[1:])
         ctx_all = jnp.concatenate([context, uc], axis=0)
     else:
         x_all, ctx_all = wins, context
+    x_all = constrain_window_batch(x_all, mesh)  # view batch over mesh 'data'
 
     if unet_microbatch and x_all.shape[0] > unet_microbatch:
         n_total = x_all.shape[0]
@@ -279,6 +283,7 @@ def sample_shift_sphere_panorama(
     init_sphere_latent: Optional[jnp.ndarray] = None,
     downsample_factor_before_vae_decode: Optional[float] = None,
     overlap_mode: str = "last",
+    mesh=None,
     unet_microbatch: int = 0,
     use_image_cond: Optional[bool] = None,
     key: Optional[jax.Array] = None,
@@ -388,6 +393,7 @@ def sample_shift_sphere_panorama(
             fps=fps,
             mode=overlap_mode,
             unet_microbatch=unet_microbatch,
+            mesh=mesh,
         ),
         static_argnames=("use_renoise", "use_merge_prev", "paste_on_static"),
     )

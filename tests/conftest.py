@@ -15,6 +15,11 @@ import jax
 # force CPU through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: tiny-model jit compiles dominate suite runtime
+from dynamicscaler_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".xla_cache"))
+
 import numpy as np
 import pytest
 
