@@ -85,6 +85,8 @@ class VArgs:
     project_name: str = ""
     overlap_mode: str = "last"
     unet_microbatch: int = 0
+    # shard the window batch across this many local devices (0 = single)
+    data_parallel_devices: int = 0
     dtype: str = "bfloat16"
     save_latents: bool = True
     profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
@@ -159,6 +161,13 @@ def main(vargs: VArgs):
         )
     key = jax.random.PRNGKey(vargs.seed % (2**31))
     model = build_model(vargs)
+    mesh = None
+    if vargs.data_parallel_devices > 1:
+        from dynamicscaler_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(n_data=vargs.data_parallel_devices)
+        model.params = replicate(model.params, mesh)
+        print(f"[mesh] window batch sharded over {vargs.data_parallel_devices} devices")
     vs = model.config.vae.spatial_scale
 
     out_dir = os.path.join(
@@ -247,6 +256,7 @@ def main(vargs: VArgs):
             use_skip_time=use_skip,
             skip_time_step_idx=skip_idx,
             progressive_skip=use_skip,
+            mesh=mesh,
             unet_microbatch=vargs.unet_microbatch,
             key=jax.random.fold_in(key, 1),
             **common,
@@ -286,6 +296,7 @@ def main(vargs: VArgs):
                 skip_time_step_idx=vargs.denoise_to_step,
                 progressive_skip=False,
                 merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+                mesh=mesh,
                 unet_microbatch=vargs.unet_microbatch,
                 key=jax.random.fold_in(key, 2),
                 decode=True,
@@ -327,6 +338,7 @@ def main(vargs: VArgs):
             skip_time_step_idx=vargs.denoise_to_step,
             progressive_skip=False,
             merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+            mesh=mesh,
             unet_microbatch=vargs.unet_microbatch,
             key=jax.random.fold_in(key, 4),
             decode=True,
