@@ -341,8 +341,10 @@ def sample_shift_multi_windows(
         origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
         okey = tuple(origins)
         if okey not in mask_cache:
-            mask_cache[okey] = jnp.asarray(
-                earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
+            # host-side cache: recompute is the cost; device residency of
+            # every variant OOMs long-video docking schedules
+            mask_cache[okey] = earlier_coverage_masks(
+                origins, (frames, wh, ww), (total_f, th, tw)
             )
         ck = (phase, len(f_origins))
         if ck not in ctx_cache:

@@ -414,14 +414,14 @@ def sample_shift_sphere_panorama(
         pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
         mask_key = (phase, tuple(f_origins))
         if mask_key not in mask_cache:
-            # masks depend only on (phase, frame windows) — compute + upload
-            # once per distinct combination, not per step (~90 MB each at 2x)
-            mask_cache[mask_key] = jnp.asarray(
-                sphere_earlier_masks(
-                    maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
-                )
+            # masks depend only on (phase, frame windows) — the numpy
+            # computation is the expensive part, so cache on HOST; the
+            # per-step upload (~tens of MB) is cheap, and keeping every
+            # variant on device OOMs long-video schedules
+            mask_cache[mask_key] = sphere_earlier_masks(
+                maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
             )
-        masks = mask_cache[mask_key]
+        masks = jnp.asarray(mask_cache[mask_key])
         ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
         last = i == steps_eff - 1
         use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last

@@ -248,9 +248,9 @@ def sample_shift_multi_windows(
         origins = np.asarray(grid.step_origins(i), np.int32)
         okey = tuple(map(tuple, origins))
         if okey not in mask_cache:
-            mask_cache[okey] = jnp.asarray(earlier_coverage_masks(
+            mask_cache[okey] = earlier_coverage_masks(
                 list(okey), (frames, wh, ww), (total_f, total_h, total_w)
-            ))
+            )
         masks = mask_cache[okey]
         last = i == S - 1
         plan.append(
