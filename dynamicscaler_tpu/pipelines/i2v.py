@@ -230,7 +230,13 @@ def sample_shift_multi_windows_integer(
         mesh=mesh, unet_microbatch=unet_microbatch,
     )
     latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
-    video = ring_aware_decode(model, denoised, params=params) if decode else None
+    # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
+    w_tiles = max(1, tw // 256)
+    video = (
+        ring_aware_decode(model, denoised, w_tiles=w_tiles, params=params)
+        if decode
+        else None
+    )
     return video, denoised
 
 
@@ -375,5 +381,11 @@ def sample_shift_multi_windows(
     )
     latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
 
-    video = ring_aware_decode(model, denoised, params=params) if decode else None
+    # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
+    w_tiles = max(1, tw // 256)
+    video = (
+        ring_aware_decode(model, denoised, w_tiles=w_tiles, params=params)
+        if decode
+        else None
+    )
     return video, denoised

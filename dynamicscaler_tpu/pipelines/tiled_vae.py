@@ -73,16 +73,34 @@ def ring_aware_decode(
     latent: jnp.ndarray,  # [B, F, h, w, zc]
     halo_chunks: int = 16,
     frame_chunk: int = 1,
+    w_tiles: int = 1,
     params=None,
 ) -> jnp.ndarray:
     """Decode a W-ring latent with wrap-around halo so the seam is
     continuous: pad width by w/halo_chunks on each side with wrapped
-    content, decode, crop (i2v_sphere_panorama_pipeline.py:974-991)."""
+    content, decode, crop (i2v_sphere_panorama_pipeline.py:974-991).
+
+    ``w_tiles > 1`` splits the width into ring tiles decoded separately
+    (each with its own wrap halo) — one 4K-equirect frame exceeds HBM if
+    decoded whole; 2-4 tiles fit.
+    """
     B, F, h, w, zc = latent.shape
     halo = w // halo_chunks
-    padded = jnp.concatenate(
-        [latent[:, :, :, -halo:], latent, latent[:, :, :, :halo]], axis=3
-    )
-    video = model.decode_video_chunked(padded, frame_chunk=frame_chunk, params=params)
     vs = model.config.vae.spatial_scale
-    return video[:, :, :, halo * vs : -(halo * vs)]
+
+    if w_tiles <= 1:
+        padded = jnp.concatenate(
+            [latent[:, :, :, -halo:], latent, latent[:, :, :, :halo]], axis=3
+        )
+        video = model.decode_video_chunked(padded, frame_chunk=frame_chunk, params=params)
+        return video[:, :, :, halo * vs : -(halo * vs)]
+
+    assert w % w_tiles == 0, (w, w_tiles)
+    tw = w // w_tiles
+    outs = []
+    for ti in range(w_tiles):
+        wi = (jnp.arange(tw + 2 * halo) + ti * tw - halo) % w
+        tile = latent[:, :, :, wi]
+        video = model.decode_video_chunked(tile, frame_chunk=frame_chunk, params=params)
+        outs.append(video[:, :, :, halo * vs : -(halo * vs)])
+    return jnp.concatenate(outs, axis=3)

@@ -177,3 +177,18 @@ def test_t2v_sphere_text_only_with_fov(t2v_model):
         key=jax.random.PRNGKey(12),
     )
     assert bool(jnp.isfinite(lat).all())
+
+
+def test_ring_decode_w_tiles_matches_whole(i2v_model):
+    """Tiled ring decode == whole decode away from GN-stat noise."""
+    lat = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 1, 16, 32, 4)).astype(np.float32)
+    )
+    whole = np.asarray(ring_aware_decode(i2v_model, lat, halo_chunks=16))
+    tiled = np.asarray(ring_aware_decode(i2v_model, lat, halo_chunks=16, w_tiles=2))
+    assert tiled.shape == whole.shape
+    # per-tile GroupNorm statistics shift values slightly (same caveat as
+    # tiled encode); correlation is the meaningful check
+    d = np.abs(whole - tiled)
+    assert d.mean() < 0.05, d.mean()
+    assert np.corrcoef(whole.ravel(), tiled.ravel())[0, 1] > 0.99
