@@ -85,6 +85,8 @@ class VArgs:
     project_name: str = ""
     overlap_mode: str = "last"
     unet_microbatch: int = 0
+    view_get_scale_factor: int = 1
+    view_set_scale_factor: int = 1
     # shard the window batch across this many local devices (0 = single)
     data_parallel_devices: int = 0
     dtype: str = "bfloat16"
@@ -252,6 +254,8 @@ def main(vargs: VArgs):
             loop_step_theta=vargs.loop_step_theta,
             denoise_to_step=vargs.denoise_to_step,
             paste_on_static=True,
+            view_get_scale_factor=vargs.view_get_scale_factor,
+            view_set_scale_factor=vargs.view_set_scale_factor,
             merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
             use_skip_time=use_skip,
             skip_time_step_idx=skip_idx,

@@ -72,32 +72,48 @@ def _phase_view_maps(
             scatter=jnp.asarray(np.stack([v.scatter_idx for v in svs])),
             valid=jnp.asarray(np.stack([v.valid for v in svs]).astype(np.float32)),
             scatter_np=np.stack([v.scatter_idx for v in svs]),
+            gather_np=np.stack([v.gather_idx for v in svs]),
+            valid_np=np.stack([v.valid for v in svs]),
         )
     return out
 
 
 def sphere_earlier_masks(
-    scatter_idx: np.ndarray,  # [Nv, h, w], -1 = invalid
+    scatter_idx: np.ndarray,  # [Nv, hs, ws] write footprint (-1 = invalid)
     f_origins: Sequence[int],
     frames: int,
     total_f: int,
     eq_pixels: int,
+    gather_idx: np.ndarray = None,  # [Nv, h, w] read positions (native res)
+    gather_valid: np.ndarray = None,
 ) -> np.ndarray:
     """Earlier-window coverage mask per (frame-window, view) pair, pano-pixel
     accurate (the within-step ``denoised_mask`` each view sees,
-    i2v_sphere_panorama_pipeline.py:345-365)."""
-    Nv, h, w = scatter_idx.shape
+    i2v_sphere_panorama_pipeline.py:345-365).
+
+    Coverage is WRITTEN with each window's scatter footprint (at the
+    set-scale resolution) and READ at the native view resolution via the
+    gather maps — mirroring the reference's mask get/set pair. With unit
+    scale factors, ``gather_idx`` defaults to reading through the scatter
+    map itself.
+    """
+    Nv = scatter_idx.shape[0]
+    if gather_idx is None:
+        gather_idx = scatter_idx
+        gather_valid = scatter_idx >= 0
+    h, w = gather_idx.shape[1:]
     pairs = [(f0, v) for f0 in f_origins for v in range(Nv)]
     cov = np.zeros((total_f, eq_pixels), bool)
     masks = np.zeros((len(pairs), frames, h, w, 1), np.float32)
     for k, (f0, v) in enumerate(pairs):
         fi = (np.arange(frames) + f0) % total_f
+        gidx = gather_idx[v].reshape(-1).clip(0)
+        gval = gather_valid[v].reshape(-1)
+        m = cov[np.ix_(fi, gidx)]  # [frames, h*w]
+        masks[k, ..., 0] = (m & gval[None, :]).reshape(frames, h, w)
         sidx = scatter_idx[v]
-        valid = sidx >= 0
-        flat = sidx.reshape(-1).clip(0)
-        m = cov[np.ix_(fi, flat)]  # [frames, h*w]
-        masks[k, ..., 0] = (m & valid.reshape(-1)[None, :]).reshape(frames, h, w)
-        cov[np.ix_(fi, np.unique(sidx[valid]))] = True
+        svalid = sidx >= 0
+        cov[np.ix_(fi, np.unique(sidx[svalid]))] = True
     return masks
 
 
@@ -137,6 +153,8 @@ def _sphere_step(
     paste_on_static: bool,
     unet_microbatch: int = 0,
     mesh=None,
+    get_scale: int = 1,
+    set_scale: int = 1,
 ):
     B, F, EH, EW, C = latent.shape
     Nw = pair_view.shape[0]
@@ -150,6 +168,9 @@ def _sphere_step(
         return win.reshape(frames, *gather_idx.shape[1:], C)
 
     wins = jax.vmap(gather_one)(pair_view, pair_f)  # [Nw, frames, h, w, C]
+    if get_scale != 1:
+        gh, gw = wins.shape[2] // get_scale, wins.shape[3] // get_scale
+        wins = resize_video_latent(wins, gh, gw, mode="nearest")
     prev = wins
 
     if use_renoise:
@@ -193,6 +214,11 @@ def _sphere_step(
 
     if use_merge_prev:
         new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
+
+    if set_scale != 1:
+        sh, sw = new.shape[2] * set_scale, new.shape[3] * set_scale
+        new = resize_video_latent(new, sh, sw, mode="nearest")
+        den = resize_video_latent(den, sh, sw, mode="nearest")
 
     # scatter target: re-noised static pano (paste_on_static) or the latent
     if paste_on_static:
@@ -282,6 +308,8 @@ def sample_shift_sphere_panorama(
     progressive_skip: bool = False,
     init_sphere_latent: Optional[jnp.ndarray] = None,
     downsample_factor_before_vae_decode: Optional[float] = None,
+    view_get_scale_factor: int = 1,
+    view_set_scale_factor: int = 1,
     overlap_mode: str = "last",
     mesh=None,
     unet_microbatch: int = 0,
@@ -312,9 +340,30 @@ def sample_shift_sphere_panorama(
 
     # ---- per-phase view maps + conditioning -------------------------------
     phase_views = sphere_phase_views(phi_theta_dict, loop_step_theta, view_fov)
+    # gather maps at view_get_scale, scatter maps at view_set_scale
+    # (i2v_sphere_panorama_pipeline.py:330-343,422-435: views are projected
+    # at a scaled latent resolution and nearest-resized to/from the UNet's
+    # native window)
     maps = _phase_view_maps(
-        phase_views, view_fov, lat_h, lat_w, eq_lat_h, eq_lat_w, phi_fov_dict
+        phase_views, view_fov,
+        lat_h * view_get_scale_factor, lat_w * view_get_scale_factor,
+        eq_lat_h, eq_lat_w, phi_fov_dict,
     )
+    native_maps = (
+        maps
+        if view_get_scale_factor == 1
+        else _phase_view_maps(
+            phase_views, view_fov, lat_h, lat_w, eq_lat_h, eq_lat_w, phi_fov_dict
+        )
+    )
+    if view_set_scale_factor == view_get_scale_factor:
+        set_maps = maps
+    else:
+        set_maps = _phase_view_maps(
+            phase_views, view_fov,
+            lat_h * view_set_scale_factor, lat_w * view_set_scale_factor,
+            eq_lat_h, eq_lat_w, phi_fov_dict,
+        )
 
     text_cache: dict = {}
     phase_ctx: Dict[int, jnp.ndarray] = {}
@@ -394,6 +443,8 @@ def sample_shift_sphere_panorama(
             mode=overlap_mode,
             unet_microbatch=unet_microbatch,
             mesh=mesh,
+            get_scale=view_get_scale_factor,
+            set_scale=view_set_scale_factor,
         ),
         static_argnames=("use_renoise", "use_merge_prev", "paste_on_static"),
     )
@@ -419,7 +470,10 @@ def sample_shift_sphere_panorama(
             # per-step upload (~tens of MB) is cheap, and keeping every
             # variant on device OOMs long-video schedules
             mask_cache[mask_key] = sphere_earlier_masks(
-                maps[phase]["scatter_np"], f_origins, frames, total_f, eq_pixels
+                set_maps[phase]["scatter_np"], f_origins, frames, total_f,
+                eq_pixels,
+                gather_idx=native_maps[phase]["gather_np"],
+                gather_valid=native_maps[phase]["valid_np"],
             )
         masks = jnp.asarray(mask_cache[mask_key])
         ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
@@ -433,7 +487,7 @@ def sample_shift_sphere_panorama(
             denoised,
             static_clean,
             maps[phase]["gather"],
-            maps[phase]["scatter"],
+            set_maps[phase]["scatter"],
             maps[phase]["valid"],
             jnp.asarray(f_origins, jnp.int32),
             jnp.asarray(pair_view),
