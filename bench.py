@@ -113,7 +113,7 @@ def main():
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
                     # full default 360° clip, measured warm on one v5e chip
                     # (BENCH_NOTES.md): sphere 15x44 + 1x 33x4 + 2x 33x16
-                    "e2e_sec_per_clip_single_chip_measured": 643.2,
+                    "e2e_sec_per_clip_single_chip_measured": 621.5,
                 },
             }
         )
