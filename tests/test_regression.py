@@ -29,7 +29,34 @@ def compute_outputs():
     sched = make_ddim_schedule(8, 1000)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 4, 4, 2))
     xp, _ = ddim_step(sched, x, x * 0.5, jnp.asarray([3, 7]))
-    return {"basic_sample": np.asarray(den), "ddim_step": np.asarray(xp)}
+
+    i2v_model = LatentVideoDiffusion.init_random(
+        tiny_test_config(img_attention=True), jax.random.PRNGKey(0),
+        tokenizer=HashTokenizer(512),
+    )
+    pano = (np.mgrid[0:32, 0:64].sum(0) % 7 / 7.0 - 0.5).astype(np.float32)
+    pano = np.stack([pano] * 3, -1)
+    from dynamicscaler_tpu.pipelines import i2v as i2v_pipe, sphere as sphere_pipe
+
+    _, den_i2v = i2v_pipe.sample_shift_multi_windows(
+        i2v_model, "reg", pano, total_w=64, total_h=32, total_f=4,
+        num_windows_w=4, num_windows_h=2, loop_step=2,
+        height=16, width=16, frames=4, num_inference_steps=3,
+        key=jax.random.PRNGKey(7), decode=False,
+    )
+    _, _, den_sp = sphere_pipe.sample_shift_sphere_panorama(
+        i2v_model, "reg", pano, equirect_width=64, equirect_height=32,
+        phi_theta_dict={0.0: [0.0, 120.0, 240.0], 60.0: [0.0]},
+        view_fov=110, loop_step_theta=2, total_f=4,
+        height=16, width=16, frames=4, num_inference_steps=3,
+        paste_on_static=True, key=jax.random.PRNGKey(8),
+    )
+    return {
+        "basic_sample": np.asarray(den),
+        "ddim_step": np.asarray(xp),
+        "i2v_planar": np.asarray(den_i2v),
+        "sphere": np.asarray(den_sp),
+    }
 
 
 def test_regression_fixtures():
