@@ -5,25 +5,31 @@ torch/xformers reference, by design:
 
 * One fused attention primitive (`scaled_attention`) replaces both the
   einsum path and xformers `memory_efficient_attention` — XLA fuses the
-  softmax chain on TPU; the interface is kept narrow so a Pallas
-  flash-attention kernel can be swapped in.
+  softmax chain on TPU (see ops/attention.py dispatch).
+* Temporal self-attention sub-blocks (LN -> QKV -> 16-token attention ->
+  out-proj -> residual) run as ONE Pallas kernel on TPU
+  (ops/fused_temporal.py), row-tiled over (B*H*W) in the native
+  [rows, F, C] layout. To hand the kernel raw weight arrays while keeping
+  the parameter tree bit-identical to nn.Dense/nn.LayerNorm (same
+  converter, same checkpoints), projections are declared via param-holder
+  modules and applied manually.
 * Dual text+image cross-attention (attention.py:116-124) = two attentions
   over split KV, summed with scale 1.0.
 * Temporal relative-position bias (attention.py:21-40,94-113) folds into the
-  logits/output as einsum terms.
+  logits/output as einsum terms (XLA path only; shipped VideoCrafter configs
+  set use_relative_position false).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from dynamicscaler_tpu.models.layers import FeedForward
-
-
+from dynamicscaler_tpu.ops import fused_temporal
 from dynamicscaler_tpu.ops.attention import attention as _fused_attention
 
 
@@ -35,15 +41,62 @@ def scaled_attention(
     bias: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Attention over [B, H, N, D]: dispatches to the Pallas TPU flash
-    kernel / chunked online-softmax / fp32-einsum by shape+platform
-    (see ops/attention.py)."""
+    """Attention over [B, H, N, D]: dispatches to chunked online-softmax /
+    fp32-einsum by shape+platform (see ops/attention.py)."""
     return _fused_attention(q, k, v, scale, bias=bias, mask=mask)
+
+
+class LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm: declares {scale, bias} under this
+    module's scope and returns the raw arrays."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class ProjParams(nn.Module):
+    """Parameter twin of nn.Dense: declares {kernel[, bias]} under this
+    module's scope and returns the raw arrays."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_dim,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=None):
+    """flax nn.LayerNorm numerics: fp32 fast-variance stats, clamped var,
+    y = (x - mu) * (rsqrt(var + eps) * scale) + bias, cast to dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    y = (xf - mu) * (jax.lax.rsqrt(var + eps) * scale) + bias
+    return y.astype(dtype if dtype is not None else x.dtype)
 
 
 class CrossAttention(nn.Module):
     """Self/cross attention with optional dual image-KV and temporal
-    relative-position bias (lvdm/modules/attention.py:43-127)."""
+    relative-position bias (lvdm/modules/attention.py:43-127).
+
+    When `ln` (scale, bias) is passed, the pre-attention LayerNorm is applied
+    here — so the temporal self-attention case can run the whole
+    LN->QKV->attn->out-proj->residual sub-block as one Pallas kernel."""
 
     heads: int
     dim_head: int
@@ -55,24 +108,49 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
+    def __call__(
+        self,
+        x,
+        context=None,
+        mask=None,
+        ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        add_residual: bool = False,
+    ):
         h, d = self.heads, self.dim_head
         inner = h * d
         scale = d**-0.5
-        B, N, _ = x.shape
+        B, N, Cq = x.shape
+        dt = self.dtype
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-
-        ctx = x if context is None else context
         use_img = self.img_cross_attention and context is not None
-        if use_img:
-            ctx_txt = ctx[:, : self.text_context_len]
-            ctx_img = ctx[:, self.text_context_len :]
-        else:
-            ctx_txt = ctx
+        ctx_dim = Cq if context is None else context.shape[-1]
 
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx_txt)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx_txt)
+        wq, _ = ProjParams(Cq, inner, name="to_q")()
+        wk, _ = ProjParams(ctx_dim, inner, name="to_k")()
+        wv, _ = ProjParams(ctx_dim, inner, name="to_v")()
+        wo, bo = ProjParams(inner, Cq, use_bias=True, name="to_out")()
+
+        if (
+            ln is not None
+            and context is None
+            and mask is None
+            and not self.relative_position
+            and fused_temporal.fusable(N, inner, Cq, h)
+        ):
+            out = fused_temporal.fused_ln_attention(
+                x, ln[0], ln[1], wq, wk, wv, wo, bo,
+                heads=h, scale=scale, add_residual=add_residual,
+            )
+            return out
+
+        x_res = x
+        xn = layer_norm(x, ln[0], ln[1], dtype=dt) if ln is not None else x
+        ctx = xn if context is None else context
+        ctx_txt = ctx[:, : self.text_context_len] if use_img else ctx
+
+        q = jnp.dot(xn.astype(dt), wq.astype(dt))
+        k = jnp.dot(ctx_txt.astype(dt), wk.astype(dt))
+        v = jnp.dot(ctx_txt.astype(dt), wv.astype(dt))
 
         def split(t):
             return t.reshape(B, t.shape[1], h, d).transpose(0, 2, 1, 3)
@@ -96,7 +174,7 @@ class CrossAttention(nn.Module):
             dist = jnp.arange(M)[None, :] - jnp.arange(N)[:, None]
             dist = jnp.clip(dist, -self.temporal_length, self.temporal_length)
             idx = dist + self.temporal_length
-            k2 = table_k[idx].astype(self.dtype)  # [N, M, d]
+            k2 = table_k[idx].astype(dt)  # [N, M, d]
             bias = jnp.einsum("bhnd,nmd->bhnm", qh, k2) * scale
 
         if mask is not None and mask.ndim == 3:
@@ -110,22 +188,30 @@ class CrossAttention(nn.Module):
             if mask is not None:
                 logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(qh.dtype)
-            v2 = table_v[idx].astype(self.dtype)
+            v2 = table_v[idx].astype(dt)
             out = out + jnp.einsum("bhnm,nmd->bhnd", probs, v2)
 
         if use_img:
-            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
-            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
+            ctx_img = ctx[:, self.text_context_len :]
+            wk_ip, _ = ProjParams(ctx_dim, inner, name="to_k_ip")()
+            wv_ip, _ = ProjParams(ctx_dim, inner, name="to_v_ip")()
+            k_ip = jnp.dot(ctx_img.astype(dt), wk_ip.astype(dt))
+            v_ip = jnp.dot(ctx_img.astype(dt), wv_ip.astype(dt))
             out_ip = scaled_attention(qh, split(k_ip), split(v_ip), scale)
             out = out + 1.0 * out_ip  # image_cross_attention_scale = 1.0
 
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+        out = jnp.dot(out, wo.astype(dt)) + bo.astype(dt)
+        if add_residual:
+            out = out + x_res
+        return out
 
 
 class BasicTransformerBlock(nn.Module):
     """self-attn -> cross-attn -> GEGLU FF with pre-LayerNorms
-    (lvdm/modules/attention.py:187-220)."""
+    (lvdm/modules/attention.py:187-220). norm1/norm2 params are declared
+    here but applied inside CrossAttention (fused on TPU for temporal
+    self-attention)."""
 
     dim: int
     heads: int
@@ -138,7 +224,8 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, mask=None):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        s1, b1 = LNParams(self.dim, name="norm1")()
+        s2, b2 = LNParams(self.dim, name="norm2")()
         attn_kwargs = dict(
             heads=self.heads,
             dim_head=self.dim_head,
@@ -146,15 +233,15 @@ class BasicTransformerBlock(nn.Module):
             temporal_length=self.temporal_length,
             dtype=self.dtype,
         )
-        x = CrossAttention(name="attn1", **attn_kwargs)(ln("norm1")(x), mask=mask) + x
-        x = (
-            CrossAttention(
-                name="attn2",
-                context_dim=self.context_dim,
-                img_cross_attention=self.img_cross_attention,
-                **attn_kwargs,
-            )(ln("norm2")(x), context=context, mask=mask)
-            + x
+        x = CrossAttention(name="attn1", **attn_kwargs)(
+            x, mask=mask, ln=(s1, b1), add_residual=True
         )
-        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(ln("norm3")(x)) + x
+        x = CrossAttention(
+            name="attn2",
+            context_dim=self.context_dim,
+            img_cross_attention=self.img_cross_attention,
+            **attn_kwargs,
+        )(x, context=context, mask=mask, ln=(s2, b2), add_residual=True)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(xn) + x
         return x

@@ -115,19 +115,6 @@ def _pallas_ok(q, k, bias, mask) -> bool:
 _NAIVE_LOGITS_LIMIT = 16_777_216  # N*M elements per (batch, head)
 
 
-def _tiny_ok(q, k, bias, mask) -> bool:
-    """Gate for the Pallas tiny-N kernel — currently OFF the auto path.
-
-    Measured in isolation the kernel beats XLA 4.45 vs 6.65 ms/op (in-program
-    slope test, level-1 temporal shape), but inside the UNet the required
-    [B,H,N,D] -> [N,D,B*H] relayout costs more than the win (full fwd 1277 vs
-    1234 ms). It stays selectable via impl="tiny" for layouts that are
-    already lane-major; making it pay in-net needs a kernel that consumes
-    the native [rows, N, C] layout (round-2).
-    """
-    return False
-
-
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -140,16 +127,10 @@ def attention(
     """Dispatching attention over [B, H, N/M, D]."""
     N, M = q.shape[2], k.shape[2]
     if impl == "auto":
-        if _tiny_ok(q, k, bias, mask):
-            impl = "tiny"
-        elif bias is None and mask is None and N * M > _NAIVE_LOGITS_LIMIT:
+        if bias is None and mask is None and N * M > _NAIVE_LOGITS_LIMIT:
             impl = "chunked"
         else:
             impl = "naive"
-    if impl == "tiny":
-        from dynamicscaler_tpu.ops.temporal_attention import tiny_attention_bhnd
-
-        return tiny_attention_bhnd(q, k, v, scale)
     if impl == "pallas":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention as pallas_flash,

@@ -1,0 +1,236 @@
+"""Fused Pallas TPU kernel for the UNet's temporal attention sub-blocks.
+
+VideoCrafter's temporal transformers (lvdm/modules/attention.py:281-373)
+attend over N=16 frame tokens for every (batch, h, w) position. XLA runs
+the sub-block — LayerNorm -> QKV projections -> 16-token attention ->
+out-projection -> residual — at ~53 TFLOP/s: the projections round-trip
+the [rows, F, C] activation through HBM four times and the 16x16
+attention einsums underutilize the MXU.
+
+This kernel fuses the entire sub-block, row-tiled over rows = B*H*W,
+consuming the temporal transformer's native [rows, F, C] layout directly
+(the round-1 lane-major kernel won in isolation but lost to the
+[B,H,N,D] relayout it required; see BENCH_NOTES.md).
+
+The tiny-attention trick: group G = 128 // F consecutive rows so that
+G*F = 128 tokens form one MXU-shaped block. Per head,
+
+    logits = Q_g @ K_g^T            # [128, 128] — one MXU op
+    logits += block_diag_mask       # kill cross-row pairs
+    out    = softmax(logits) @ V_g  # [128, d]   — one MXU op
+
+computes G independent F-token attentions per matmul pair. The masked
+rows cost G x the minimal attention FLOPs, but attention is ~1% of the
+sub-block FLOPs — the projections dominate and run as honest
+[TR*F, C] @ [C, C] MXU matmuls on data already in VMEM.
+
+Numerics match the unfused path (flax LayerNorm fast-variance in fp32,
+bf16 matmul inputs, fp32 softmax) to bf16 rounding; parity is tested in
+interpret mode on CPU (tests/test_fused_temporal.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MODE = os.environ.get("DSCALER_FUSED_TEMPORAL", "auto")  # auto | off | interpret
+
+
+def set_mode(mode: str) -> None:
+    """auto: Pallas kernel on TPU; off: never; interpret: kernel in
+    interpreter mode on any backend (for tests)."""
+    global _MODE
+    assert mode in ("auto", "off", "interpret"), mode
+    _MODE = mode
+
+
+def mode() -> str:
+    return _MODE
+
+
+def _tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
+    """Shape gate for the fused sub-block kernel.
+
+    Requires: token count divides the 128-lane MXU block; square
+    projections (inner == query dim, true for all temporal blocks);
+    C <= 640 so the four weight matrices + tiles fit VMEM (the C=1280
+    levels have 16x fewer rows and stay on the XLA path).
+    """
+    if _MODE == "off":
+        return False
+    if not (_MODE == "interpret" or _tpu_available()):
+        return False
+    return (
+        n_tokens >= 2
+        and 128 % n_tokens == 0
+        and inner == query_dim
+        and inner % heads == 0
+        and inner <= 640
+        and (inner // heads) % 8 == 0
+    )
+
+
+def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+            *, heads: int, scale: float, eps: float, add_residual: bool):
+    TR, F, C = x_ref.shape
+    T = TR * F
+    d = C // heads
+    x = x_ref[:].reshape(T, C)
+
+    # LayerNorm (flax fast-variance semantics, fp32)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * s_ref[:].astype(jnp.float32)
+    h = ((xf - mu) * mul + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    # QKV projections — MXU matmuls on VMEM-resident data
+    q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # Block-diagonal 128-token attention: G = 128 // F rows per block
+    nG = T // 128
+    ti = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // F
+    tj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // F
+    neg = jnp.where(ti == tj, 0.0, -1e30).astype(jnp.float32)
+
+    outs = []
+    for hh in range(heads):
+        qh = q[:, hh * d:(hh + 1) * d].reshape(nG, 128, d)
+        kh = k[:, hh * d:(hh + 1) * d].reshape(nG, 128, d)
+        vh = v[:, hh * d:(hh + 1) * d].reshape(nG, 128, d)
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale + neg[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        oh = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(oh.astype(x.dtype).reshape(T, d))
+    o = jnp.concatenate(outs, axis=-1)
+
+    out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    out = out.astype(x.dtype)
+    if add_residual:
+        out = out + x
+    o_ref[:] = out.reshape(TR, F, C)
+
+
+def _row_tile(F: int, C: int, itemsize: int) -> int:
+    # keep TR*F*C tiles + 4 weight mats + fp32 transients under VMEM
+    if C <= 320:
+        tr = 128
+    elif C <= 640:
+        tr = 64
+    else:
+        tr = 32
+    if itemsize > 2:  # fp32 activations double the tile footprint
+        tr = max(tr // 2, 8)
+    return tr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "eps", "add_residual", "interpret"),
+)
+def _fused_call(x, s, b, wq, wk, wv, wo, bo, *, heads, scale, eps,
+                add_residual, interpret):
+    R, F, C = x.shape
+    TR = _row_tile(F, C, x.dtype.itemsize)
+    while (TR * F) % 128:
+        TR *= 2
+    pad = (-R) % TR
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    Rp = R + pad
+
+    x_spec = pl.BlockSpec((TR, F, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    flops_mm = 8 * Rp * F * C * C  # 4 projections, 2*T*C*C each
+    flops_attn = 2 * 2 * Rp * F * 128 * C  # masked 128-block logits+PV
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, heads=heads, scale=scale, eps=eps, add_residual=add_residual
+        ),
+        out_shape=jax.ShapeDtypeStruct((Rp, F, C), x.dtype),
+        grid=(Rp // TR,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_spec, w_spec, w_spec, w_spec, vec_spec],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm + flops_attn,
+            bytes_accessed=2 * Rp * F * C * 2 + 4 * C * C * 2,
+            transcendentals=Rp * F * 128,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, s, b, wq, wk, wv, wo, bo)
+    return out[:R] if pad else out
+
+
+def fused_ln_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    *,
+    heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    add_residual: bool = True,
+) -> jnp.ndarray:
+    """LayerNorm -> QKV -> F-token self-attention -> out-proj [-> +x].
+
+    x: [rows, F, C]; weight matrices [C, C] (flax Dense layout, in x out);
+    ln_scale/ln_bias/bo: [C]. Returns [rows, F, C] in x.dtype. Caller must
+    have checked `fusable(F, C, C, heads)`.
+    """
+    R, F, C = x.shape
+    assert wq.shape == (C, C) and wo.shape == (C, C), (wq.shape, wo.shape)
+    to2d = lambda t: t.reshape(1, C)
+    return _fused_call(
+        x,
+        to2d(ln_scale.astype(jnp.float32)),
+        to2d(ln_bias.astype(jnp.float32)),
+        wq.astype(x.dtype),
+        wk.astype(x.dtype),
+        wv.astype(x.dtype),
+        wo.astype(x.dtype),
+        to2d(bo.astype(jnp.float32)),
+        heads=heads,
+        scale=float(scale),
+        eps=float(eps),
+        add_residual=add_residual,
+        interpret=_MODE == "interpret",
+    )

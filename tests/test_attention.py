@@ -47,12 +47,4 @@ def test_bias_and_mask_fall_back_to_naive(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_tiny_attention_matches_naive(rng):
-    from dynamicscaler_tpu.ops.temporal_attention import tiny_attention_bhnd
-
-    q = jnp.asarray(rng.standard_normal((64, 5, 16, 64)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((64, 5, 16, 64)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((64, 5, 16, 64)).astype(np.float32))
-    ref = naive_attention(q, k, v, 0.125)
-    got = tiny_attention_bhnd(q, k, v, 0.125)  # CPU fallback path here
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+# The Pallas temporal-attention kernel is covered by tests/test_fused_temporal.py.
