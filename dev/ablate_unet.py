@@ -1,0 +1,85 @@
+"""Ablation: full-size UNet forward time by component (in-program slope).
+
+Chains K forwards inside one jitted program (K=1 vs K=3) to cancel the
+axon per-call floor. B=8 (CFG-packed window batch 4x2) at the native
+40x64x16 window latent, matching bench.py.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python dev/ablate_unet.py [variant...]
+Variants: full full_nofused no_tattn no_tconv convs_only
+"""
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from dynamicscaler_tpu.config import videocrafter_i2v
+from dynamicscaler_tpu.models.unet3d import UNet3D
+from dynamicscaler_tpu.ops import fused_temporal
+
+B, FRAMES, H, W = 8, 16, 40, 64
+K_LO, K_HI = 1, 3
+
+
+def variant_cfg(name):
+    cfg = videocrafter_i2v(dtype="bfloat16").unet
+    if name in ("full", "full_nofused"):
+        return cfg
+    if name == "no_tattn":
+        return dataclasses.replace(cfg, temporal_attention=False)
+    if name == "no_tconv":
+        return dataclasses.replace(cfg, temporal_conv=False)
+    if name == "convs_only":
+        return dataclasses.replace(
+            cfg, temporal_attention=False, attention_resolutions=()
+        )
+    raise SystemExit(f"unknown variant {name}")
+
+
+def measure(name):
+    fused_temporal.set_mode("off" if name == "full_nofused" else "auto")
+    ucfg = variant_cfg(name)
+    unet = UNet3D(ucfg, dtype=jnp.bfloat16)
+    L = ucfg.text_context_len + 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, FRAMES, H, W, ucfg.in_channels), jnp.bfloat16)
+    t = jnp.full((B,), 500, jnp.int32)
+    ctx = jnp.zeros((B, L, ucfg.context_dim), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), x[:1, :2], t[:1], ctx[:1], 16))
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes)
+
+    def chained(K):
+        def f(x):
+            out = x
+            for _ in range(K):
+                out = unet.apply(params, out, t, ctx, 16)
+            return out.astype(jnp.float32).sum()
+        return jax.jit(f)
+
+    ts = {}
+    for K in (K_LO, K_HI):
+        fn = chained(K)
+        float(fn(x)); float(fn(x))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(fn(x))
+        ts[K] = (time.perf_counter() - t0) / 3
+    per_fwd = (ts[K_HI] - ts[K_LO]) / (K_HI - K_LO) * 1e3
+
+    try:
+        fl = float(jax.jit(lambda x: unet.apply(params, x, t, ctx, 16)).lower(x).compile().cost_analysis()["flops"])
+    except Exception:
+        fl = float("nan")
+    print(f"{name:14s}: {per_fwd:7.1f} ms/fwd  {fl/1e12:6.1f} TF  {fl/per_fwd/1e9:6.0f} GFLOP/s")
+    return per_fwd
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["full", "full_nofused", "no_tattn", "no_tconv", "convs_only"]
+    for n in names:
+        measure(n)

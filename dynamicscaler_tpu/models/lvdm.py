@@ -117,10 +117,12 @@ class LatentVideoDiffusion:
 
     # -- pure apply methods --------------------------------------------------
 
-    def apply_unet(self, x, t, context, fps=16, params=None):
-        """eps prediction. x: [B, F, H, W, C]; context: [B, L, D]."""
+    def apply_unet(self, x, t, context, fps=16, params=None, no_temporal_attn=False):
+        """eps prediction. x: [B, F, H, W, C]; context: [B, L, D].
+        ``no_temporal_attn`` skips temporal transformers (the legacy
+        sampler's temporal-guidance probe, samplers/ddim.py:228-231)."""
         p = params if params is not None else self.params
-        return self.unet.apply(p["unet"], x, t, context, fps)
+        return self.unet.apply(p["unet"], x, t, context, fps, no_temporal_attn)
 
     def encode_text_tokens(self, tokens, params=None):
         p = params if params is not None else self.params

@@ -392,7 +392,7 @@ class UNet3D(nn.Module):
             kernel_init=nn.initializers.zeros, name="out_conv",
         )
 
-    def _apply_specs(self, specs, layers, h, emb, context, F):
+    def _apply_specs(self, specs, layers, h, emb, context, F, no_temporal_attn=False):
         for spec, layer in zip(specs, layers):
             if spec.kind in ("conv_in", "down", "up"):
                 h = layer(h)
@@ -401,7 +401,8 @@ class UNet3D(nn.Module):
             elif spec.kind == "spatial":
                 h = layer(h, context=context)
             elif spec.kind == "temporal":
-                h = layer(h, num_frames=F)
+                if not no_temporal_attn:
+                    h = layer(h, num_frames=F)
         return h
 
     def __call__(
@@ -410,6 +411,7 @@ class UNet3D(nn.Module):
         timesteps: jnp.ndarray,  # [B] int
         context: jnp.ndarray,  # [B, L, context_dim]
         fps,  # scalar or [B]
+        no_temporal_attn: bool = False,
     ) -> jnp.ndarray:
         cfg = self.cfg
         B, F, H, W, C = x.shape
@@ -428,16 +430,16 @@ class UNet3D(nn.Module):
 
         hs = []
         for i, (specs, layers) in enumerate(zip(self._in_specs, self.in_layers)):
-            h = self._apply_specs(specs, layers, h, emb, ctx, F)
-            if i == 0 and cfg.addition_attention:
+            h = self._apply_specs(specs, layers, h, emb, ctx, F, no_temporal_attn)
+            if i == 0 and cfg.addition_attention and not no_temporal_attn:
                 h = self.init_attn(h, num_frames=F)
             hs.append(h)
 
-        h = self._apply_specs(self._mid_specs, self.mid_layers, h, emb, ctx, F)
+        h = self._apply_specs(self._mid_specs, self.mid_layers, h, emb, ctx, F, no_temporal_attn)
 
         for specs, layers in zip(self._out_specs, self.out_layers):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_specs(specs, layers, h, emb, ctx, F)
+            h = self._apply_specs(specs, layers, h, emb, ctx, F, no_temporal_attn)
 
         h = self.out_norm(h)
         h = nn.silu(h)

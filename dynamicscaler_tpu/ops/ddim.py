@@ -294,6 +294,120 @@ def re_noise_per_frame(
     return c * x_a + s * noise
 
 
+def ddim_scale_tables(schedule: DDIMSchedule) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ddim_scale_arr, ddim_scale_arr_prev) for the legacy `use_scale` step
+    (lvdm/models/samplers/ddim.py:42-47): the DDPM scale array gathered at
+    the DDIM timesteps, and its shifted-by-one predecessor."""
+    sc = schedule.scale_arr[schedule.ddim_timesteps]
+    sc_prev = jnp.concatenate(
+        [schedule.scale_arr[:1], schedule.scale_arr[schedule.ddim_timesteps[:-1]]]
+    )
+    return sc, sc_prev
+
+
+def ddim_step_scaled(
+    schedule: DDIMSchedule,
+    x: jnp.ndarray,
+    noise_pred: jnp.ndarray,
+    indices: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    frame_axis: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Legacy DDIMSampler step with VideoCrafter `use_scale` correction
+    (lvdm/models/samplers/ddim.py:267-272): pred_x0 is un-scaled by
+    scale_t and re-scaled by scale_{t_prev} in the x_prev recurrence.
+
+    The pano scheduler (pipeline/scheduler.py:61-96 -> `ddim_step` here)
+    deliberately ignores the scale in-step; only the legacy batch-eval
+    path applies it. With ``use_scale=False`` this equals ``ddim_step``.
+    Vectorized over a per-frame DDIM index vector like ``ddim_step``.
+    """
+    indices = jnp.asarray(indices)
+    nd = x.ndim
+    a_t = _per_frame(schedule.ddim_alphas, indices, nd, frame_axis)
+    a_prev = _per_frame(schedule.ddim_alphas_prev, indices, nd, frame_axis)
+    sigma_t = _per_frame(schedule.ddim_sigmas, indices, nd, frame_axis)
+    sqrt_omat = _per_frame(schedule.ddim_sqrt_one_minus_alphas, indices, nd, frame_axis)
+
+    pred_x0 = (x - sqrt_omat * noise_pred) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t**2) * noise_pred
+
+    if schedule.use_scale:
+        sc, sc_prev = ddim_scale_tables(schedule)
+        scale_t = _per_frame(sc, indices, nd, frame_axis)
+        scale_prev = _per_frame(sc_prev, indices, nd, frame_axis)
+        pred_x0 = pred_x0 / scale_t
+        x_prev = jnp.sqrt(a_prev) * scale_prev * pred_x0 + dir_xt
+    else:
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+    if key is not None and schedule.eta > 0:
+        x_prev = x_prev + sigma_t * jax.random.normal(key, x.shape, x.dtype)
+    return x_prev, pred_x0
+
+
+def cfg_combine(
+    eps_cond: jnp.ndarray,
+    eps_uncond: jnp.ndarray,
+    guidance_scale: float,
+    uc_type: Optional[str] = None,
+) -> jnp.ndarray:
+    """Classifier-free-guidance noise combination incl. the legacy sampler's
+    alternate formulas (lvdm/models/samplers/ddim.py:217-226)."""
+    if uc_type is None:
+        return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+    if uc_type == "cfg_original":
+        return eps_cond + guidance_scale * (eps_cond - eps_uncond)
+    if uc_type == "cfg_ours":
+        return eps_cond + guidance_scale * (eps_uncond - eps_cond)
+    raise NotImplementedError(f"uc_type '{uc_type}' unknown")
+
+
+def temporal_guidance_combine(
+    eps: jnp.ndarray,
+    eps_temporal: jnp.ndarray,
+    eps_no_temporal: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """`conditional_guidance_scale_temporal` term
+    (lvdm/models/samplers/ddim.py:228-231): push eps along the difference
+    between the temporal-attention and temporal-attention-free predictions.
+
+    Note: in the reference this is a silent no-op — the shipped UNet swallows
+    ``no_temporal_attn`` via **kwargs (openaimodel3d.py:657), so
+    eps_temporal == eps_no_temporal there. Our UNet3D implements the flag
+    for real (models/unet3d.py `no_temporal_attn`).
+    """
+    return eps + scale * (eps_temporal - eps_no_temporal)
+
+
+def stochastic_encode(
+    schedule: DDIMSchedule,
+    x0: jnp.ndarray,
+    t,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+    use_original_steps: bool = False,
+) -> jnp.ndarray:
+    """Noise x0 to DDIM step-index ``t`` (lvdm/models/samplers/ddim.py:330-348).
+
+    ``t`` indexes the DDIM sub-schedule (or raw DDPM timesteps when
+    ``use_original_steps``); scalar or per-batch [B].
+    """
+    if use_original_steps:
+        sac = schedule.sqrt_alphas_cumprod
+        somac = schedule.sqrt_one_minus_alphas_cumprod
+    else:
+        sac = jnp.sqrt(schedule.ddim_alphas)
+        somac = schedule.ddim_sqrt_one_minus_alphas
+    if noise is None:
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+    t = jnp.asarray(t)
+    shape = (-1,) + (1,) * (x0.ndim - 1) if t.ndim else ()
+    c = sac[t].reshape(shape) if t.ndim else sac[t]
+    s = somac[t].reshape(shape) if t.ndim else somac[t]
+    return c * x0 + s * noise
+
+
 def q_sample(
     schedule: DDIMSchedule,
     x_start: jnp.ndarray,

@@ -1,0 +1,220 @@
+"""Legacy DDIMSampler surface parity vs the importable reference class
+(lvdm/models/samplers/ddim.py:195-348): use_scale-corrected step, uc_type
+CFG variants, stochastic_encode, temporal guidance.
+
+The reference class is instantiated with a stub model carrying the DDPM
+buffers (built with the reference's own formulas, ddpm3d.py:362-376) and a
+deterministic eps function; register_buffer is overridden to stay on CPU
+(the reference hardcodes .to('cuda'), ddim.py:16-20).
+"""
+
+import dataclasses
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not mounted"
+)
+
+if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+from dynamicscaler_tpu.ops.ddim import (  # noqa: E402
+    cfg_combine,
+    ddim_scale_tables,
+    ddim_step_scaled,
+    make_ddim_schedule,
+    stochastic_encode,
+    temporal_guidance_combine,
+)
+
+torch.manual_seed(0)
+
+T, S = 1000, 8
+LS, LE = 0.00085, 0.012
+
+
+class _StubModel:
+    """DDPM buffers the legacy sampler reads, built with the reference's own
+    formulas (utils_diffusion.make_beta_schedule + ddpm3d.py:362-376)."""
+
+    def __init__(self, use_scale):
+        from lvdm.models.utils_diffusion import make_beta_schedule
+
+        betas = np.asarray(
+            make_beta_schedule("linear", T, linear_start=LS, linear_end=LE)
+        )
+        acp = np.cumprod(1.0 - betas)
+        self.num_timesteps = T
+        self.betas = torch.tensor(betas, dtype=torch.float32)
+        self.alphas_cumprod = torch.tensor(acp, dtype=torch.float32)
+        self.alphas_cumprod_prev = torch.tensor(
+            np.append(1.0, acp[:-1]), dtype=torch.float32
+        )
+        self.use_scale = use_scale
+        if use_scale:
+            scale_arr1 = np.linspace(1.0, 0.3, 400)
+            scale_arr2 = np.full(T, 0.3)  # reference keeps its length bug
+            scale_arr = np.concatenate((scale_arr1, scale_arr2))
+            self.scale_arr = torch.tensor(scale_arr, dtype=torch.float32)
+        self.device = torch.device("cpu")
+        self.parameterization = "eps"
+        self.eps_fn = lambda x, t, c: 0.3 * x + c.reshape((-1,) + (1,) * (x.dim() - 1))
+
+    def apply_model(self, x, t, c, **kwargs):
+        return self.eps_fn(x, t, c)
+
+
+def _ref_sampler(use_scale):
+    from lvdm.models.samplers.ddim import DDIMSampler
+
+    class CPUSampler(DDIMSampler):
+        def register_buffer(self, name, attr):  # reference forces .to('cuda')
+            setattr(self, name, attr)
+
+    s = CPUSampler(_StubModel(use_scale))
+    s.make_schedule(S, ddim_eta=0.0, verbose=False)
+    return s
+
+
+def _our_schedule(use_scale):
+    return make_ddim_schedule(
+        S, T, linear_start=LS, linear_end=LE, use_scale=use_scale
+    )
+
+
+def test_scale_tables_match_reference():
+    ref = _ref_sampler(use_scale=True)
+    ours = _our_schedule(use_scale=True)
+    sc, sc_prev = ddim_scale_tables(ours)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref.ddim_scale_arr), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sc_prev), np.asarray(ref.ddim_scale_arr_prev), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("use_scale", [False, True])
+@pytest.mark.parametrize("uc_type", [None, "cfg_original", "cfg_ours"])
+def test_p_sample_ddim_parity(rng, use_scale, uc_type):
+    """One legacy CFG step: reference p_sample_ddim (5-D video tensor) vs
+    cfg_combine + ddim_step_scaled (ddim.py:195-274)."""
+    ref = _ref_sampler(use_scale)
+    ours = _our_schedule(use_scale)
+
+    B, C, F, H, W = 1, 4, 3, 5, 6
+    index = 5
+    x_t = torch.tensor(rng.standard_normal((B, C, F, H, W)).astype(np.float32))
+    cond = torch.tensor([0.7], dtype=torch.float32)
+    uncond = torch.tensor([-0.2], dtype=torch.float32)
+    t = torch.full((B,), int(ref.ddim_timesteps[index]), dtype=torch.long)
+
+    x_prev_ref, pred_x0_ref = ref.p_sample_ddim(
+        x_t, cond, t, index=index,
+        unconditional_guidance_scale=2.5,
+        unconditional_conditioning=uncond,
+        uc_type=uc_type,
+    )
+
+    # ours: [B, F, H, W, C] layout
+    xj = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+    eps_c = 0.3 * xj + 0.7
+    eps_u = 0.3 * xj + (-0.2)
+    eps = cfg_combine(eps_c, eps_u, 2.5, uc_type=uc_type)
+    x_prev, pred_x0 = ddim_step_scaled(ours, xj, eps, jnp.full((F,), index))
+
+    np.testing.assert_allclose(
+        np.asarray(x_prev).transpose(0, 4, 1, 2, 3), x_prev_ref.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_x0).transpose(0, 4, 1, 2, 3), pred_x0_ref.numpy(),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("use_original_steps", [False, True])
+def test_stochastic_encode_parity(rng, use_original_steps):
+    ref = _ref_sampler(use_scale=False)
+    # reference stochastic_encode reads self.sqrt_alphas_cumprod, registered
+    # by make_schedule
+    ours = _our_schedule(use_scale=False)
+    B = 2
+    x0 = torch.tensor(rng.standard_normal((B, 4, 3, 5, 6)).astype(np.float32))
+    noise = torch.tensor(rng.standard_normal((B, 4, 3, 5, 6)).astype(np.float32))
+    t = torch.tensor([2, 6 if not use_original_steps else 600], dtype=torch.long)
+
+    got_ref = ref.stochastic_encode(
+        x0, t, use_original_steps=use_original_steps, noise=noise
+    )
+    got = stochastic_encode(
+        ours, jnp.asarray(x0.numpy()), jnp.asarray(t.numpy()),
+        noise=jnp.asarray(noise.numpy()), use_original_steps=use_original_steps,
+    )
+    np.testing.assert_allclose(np.asarray(got), got_ref.numpy(), atol=1e-6)
+
+
+def test_temporal_guidance_real_not_noop(rng):
+    """The reference's temporal guidance is a silent no-op (the shipped UNet
+    swallows no_temporal_attn via **kwargs, openaimodel3d.py:657-666); ours
+    implements the flag for real: skipping temporal transformers must equal
+    a UNet built without them, sharing the non-temporal weights."""
+    from dynamicscaler_tpu.config import UNetConfig
+    from dynamicscaler_tpu.models.unet3d import UNet3D
+
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=(1, 2), num_res_blocks=1, channel_mult=(1, 2),
+        num_head_channels=16, transformer_depth=1, context_dim=64,
+        temporal_length=4, temporal_attention=True, addition_attention=True,
+        fps_cond=True, use_image_attention=False,
+    )
+    full = UNet3D(cfg)
+    reduced = UNet3D(
+        dataclasses.replace(cfg, temporal_attention=False, addition_attention=False)
+    )
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 4)).astype(np.float32))
+    t = jnp.full((1,), 500, jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((1, 77, 64)).astype(np.float32))
+
+    pf = full.init(jax.random.PRNGKey(0), x, t, ctx, 16)
+    # temporal transformers are zero-init at proj_out (matching the
+    # reference), so they contribute 0 at random init — un-zero them so the
+    # flag is observable
+    def _unzero(kp, v):
+        keys = [str(k.key) for k in kp if hasattr(k, "key")]
+        temporal_proj = (
+            any("temporal" in k or "init_attn" in k for k in keys)
+            and keys[-2:] == ["proj_out", "kernel"]
+        )
+        # the UNet's final conv is zero-init too — un-zero it or every
+        # output is identically 0 at random init
+        out_conv = keys[-2:] == ["out_conv", "kernel"]
+        return jnp.full_like(v, 0.05) if (temporal_proj or out_conv) else v
+
+    pf = jax.tree_util.tree_map_with_path(_unzero, pf)
+    pr = reduced.init(jax.random.PRNGKey(1), x, t, ctx, 16)
+    # graft the shared weights from the full tree into the reduced tree
+    shared = {k: pf["params"][k] for k in pr["params"]}
+    out_flag = full.apply(pf, x, t, ctx, 16, True)
+    out_reduced = reduced.apply({"params": shared}, x, t, ctx, 16)
+    np.testing.assert_allclose(
+        np.asarray(out_flag), np.asarray(out_reduced), atol=1e-6
+    )
+    out_full = full.apply(pf, x, t, ctx, 16)
+    assert np.abs(np.asarray(out_full) - np.asarray(out_flag)).max() > 1e-4
+
+    # and the combine formula itself (ddim.py:228-231)
+    e, et, ei = (jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32)) for _ in range(3))
+    np.testing.assert_allclose(
+        np.asarray(temporal_guidance_combine(e, et, ei, 0.5)),
+        np.asarray(e + 0.5 * (et - ei)),
+    )
