@@ -5,6 +5,10 @@ tile-denoise step (2 CFG UNet forwards of the full-size 1.44B-param
 VideoCrafter2-architecture i2v UNet at the native 40x64x16 window latent,
 plus the vectorized DDIM update) — as tiles/second on the local chip.
 
+WINDOWS=8 with the samplers' default unet_microbatch=8 (CFG-packed UNet
+batch 16 split into two batch-8 calls — batch 8 saturates the chip and
+batch 16 fails remote compile; BENCH_NOTES.md).
+
 Baseline: the reference publishes no numbers (BASELINE.md). The comparison
 point is analytic: the reference executes the same two UNet forwards per
 tile sequentially in eager torch fp32 on A100; we credit the A100 with 60
@@ -23,9 +27,15 @@ import jax.numpy as jnp
 
 
 A100_EFFECTIVE_FLOPS = 60e12  # analytic torch-eager A100 assumption (see above)
-WINDOWS = 4  # tiles denoised per program (CFG-packed batch = 8)
+V5E_PEAK_BF16_FLOPS = 197e12  # MXU peak per chip (MFU denominator)
+WINDOWS = 8  # tiles denoised per program (CFG-packed batch 16, microbatch 8)
+MICROBATCH = 8
 FRAMES, LAT_H, LAT_W = 16, 40, 64
 TIMED_ITERS = 5
+
+# full default 360° clip stages, measured warm on one v5e chip (BENCH_NOTES.md
+# has history); update when re-measured.
+E2E_STAGES_SEC = {"sphere_15x44": 287.0, "planar_1x_33x4": 84.0, "upscale_2x_33x16": 251.0}
 
 
 def main():
@@ -42,7 +52,7 @@ def main():
 
     L = cfg.unet.text_context_len + cfg.resampler.num_queries
     x0 = jnp.zeros((WINDOWS, FRAMES, LAT_H, LAT_W, cfg.unet.in_channels), jnp.bfloat16)
-    t = jnp.full((2 * WINDOWS,), 500, jnp.int32)
+    t = jnp.full((MICROBATCH,), 500, jnp.int32)
     ctx = jnp.zeros((2 * WINDOWS, L, cfg.unet.context_dim), jnp.bfloat16)
 
     shapes = jax.eval_shape(
@@ -54,9 +64,15 @@ def main():
     )
 
     def tile_denoise_step(params, lat, ctx, step_index, key):
-        """One shift-window step for WINDOWS tiles: CFG-packed UNet + DDIM."""
+        """One shift-window step for WINDOWS tiles: CFG-packed UNet
+        (microbatched like the samplers) + DDIM."""
         x2 = jnp.concatenate([lat, lat], axis=0)
-        eps = unet.apply(params, x2, t, ctx, 16)
+        xs = x2.reshape(-1, MICROBATCH, *x2.shape[1:])
+        cs = ctx.reshape(-1, MICROBATCH, *ctx.shape[1:])
+        eps = jax.lax.map(
+            lambda ab: unet.apply(params, ab[0], t, ab[1], 16), (xs, cs)
+        )
+        eps = eps.reshape(-1, *eps.shape[2:])
         g = 7.5
         eps = eps[WINDOWS:] + g * (eps[:WINDOWS] - eps[WINDOWS:])
         new, den = ddim_step(sched, lat.astype(jnp.float32), eps, jnp.full((FRAMES,), step_index))
@@ -68,11 +84,19 @@ def main():
     key = jax.random.PRNGKey(0)
     lat = jax.random.normal(key, x0.shape, jnp.bfloat16)
 
-    # compile + flops accounting
-    lowered = jfn.lower(params, lat, ctx, jnp.int32(30), key)
-    compiled = lowered.compile()
+    # compile + flops accounting. NOTE: the step runs its UNet microbatches
+    # under lax.map (-> while loop), whose body XLA cost_analysis counts
+    # ONCE — so count one microbatch forward and multiply by trip count.
+    jfn.lower(params, lat, ctx, jnp.int32(30), key).compile()
+    n_micro = 2 * WINDOWS // MICROBATCH
     try:
-        flops_per_call = float(compiled.cost_analysis()["flops"])
+        one_fwd = (
+            jax.jit(lambda p, x, c: unet.apply(p, x, t, c, 16))
+            .lower(params, lat[:MICROBATCH], ctx[:MICROBATCH])
+            .compile()
+            .cost_analysis()["flops"]
+        )
+        flops_per_call = float(one_fwd) * n_micro
     except Exception:
         flops_per_call = float("nan")
 
@@ -91,8 +115,10 @@ def main():
 
     sec_per_step = elapsed / TIMED_ITERS
     tiles_per_sec = WINDOWS / sec_per_step
+    have_flops = flops_per_call == flops_per_call
+    mfu = (flops_per_call / sec_per_step) / V5E_PEAK_BF16_FLOPS if have_flops else None
 
-    flops_per_tile = flops_per_call / WINDOWS if flops_per_call == flops_per_call else None
+    flops_per_tile = flops_per_call / WINDOWS if have_flops else None
     if flops_per_tile:
         baseline_tiles_per_sec = A100_EFFECTIVE_FLOPS / flops_per_tile
         vs_baseline = tiles_per_sec / baseline_tiles_per_sec
@@ -108,12 +134,15 @@ def main():
                 "vs_baseline": round(vs_baseline, 3),
                 "detail": {
                     "windows_per_step": WINDOWS,
+                    "unet_microbatch": MICROBATCH,
                     "sec_per_step": round(sec_per_step, 4),
                     "flops_per_tile": flops_per_tile,
+                    "mfu": round(mfu, 4) if mfu is not None else None,
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
-                    # full default 360° clip, measured warm on one v5e chip
-                    # (BENCH_NOTES.md): sphere 15x44 + 1x 33x4 + 2x 33x16
-                    "e2e_sec_per_clip_single_chip_measured": 621.5,
+                    "e2e_stages_sec_single_chip_measured": E2E_STAGES_SEC,
+                    "e2e_sec_per_clip_single_chip_measured": round(
+                        sum(E2E_STAGES_SEC.values()), 1
+                    ),
                 },
             }
         )

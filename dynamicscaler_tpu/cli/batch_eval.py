@@ -25,6 +25,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompt_file", type=str, required=True,
                    help="text file, one prompt per line")
+    p.add_argument("--mode", type=str, default="t2v", choices=("t2v", "i2v"),
+                   help="i2v pairs each prompt with a cond image from "
+                        "--cond_input (sorted; inference.py:80-85)")
+    p.add_argument("--cond_input", type=str, default="",
+                   help="dir of per-prompt cond images (png/jpg), sorted by "
+                        "name like the reference's get_filelist")
     p.add_argument("--ckpt_path", type=str, default="")
     p.add_argument("--bpe_path", type=str, default="")
     p.add_argument("--output_dir", type=str, default="./results/batch")
@@ -53,7 +59,7 @@ def main(args):
     _enable_cache()
     import jax
 
-    from dynamicscaler_tpu.pipelines import t2v
+    from dynamicscaler_tpu.pipelines import i2v, t2v
     from dynamicscaler_tpu.utils.io import save_video
 
     rank = args.rank if args.rank >= 0 else jax.process_index()
@@ -64,24 +70,45 @@ def main(args):
     shard = prompts[rank::world]  # reference shards by index slice too
     print(f"[batch_eval] rank {rank}/{world}: {len(shard)}/{len(prompts)} prompts")
 
+    cond_shard = [None] * len(shard)
+    if args.mode == "i2v":
+        import glob
+
+        from dynamicscaler_tpu.utils.io import load_image
+
+        paths = sorted(
+            p for ext in ("png", "jpg", "jpeg")
+            for p in glob.glob(os.path.join(args.cond_input, f"*.{ext}"))
+        )
+        assert len(paths) == len(prompts), (
+            f"cond images ({len(paths)}) != prompts ({len(prompts)}) "
+            f"(inference.py:82 requires 1:1)"
+        )
+        cond_shard = paths[rank::world]
+
     if args.dev_tiny:
         from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion, tiny_test_config
         from dynamicscaler_tpu.utils.tokenizer import HashTokenizer
 
         model = LatentVideoDiffusion.init_random(
-            tiny_test_config(img_attention=False), jax.random.PRNGKey(args.seed),
+            tiny_test_config(img_attention=args.mode == "i2v"),
+            jax.random.PRNGKey(args.seed),
             tokenizer=HashTokenizer(512),
         )
         args.height = args.width = 32
         args.frames = 4
         args.num_inference_steps = 4
     else:
-        from dynamicscaler_tpu.config import videocrafter2_t2v
+        from dynamicscaler_tpu.config import videocrafter2_t2v, videocrafter_i2v
         from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
         from dynamicscaler_tpu.utils.tokenizer import load_tokenizer
         from dynamicscaler_tpu.utils.weights import load_videocrafter_checkpoint
 
-        config = videocrafter2_t2v(dtype=args.dtype)
+        config = (
+            videocrafter_i2v(dtype=args.dtype)
+            if args.mode == "i2v"
+            else videocrafter2_t2v(dtype=args.dtype)
+        )
         params = load_videocrafter_checkpoint(args.ckpt_path, config)
         model = LatentVideoDiffusion(
             config=config, params=params, tokenizer=load_tokenizer(args.bpe_path or None)
@@ -91,12 +118,23 @@ def main(args):
     t0 = time.time()
     for i, prompt in enumerate(shard):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), rank * 100003 + i)
-        video, _ = t2v.basic_sample(
-            model, prompt,
-            height=args.height, width=args.width, frames=args.frames,
-            fps=args.fps, guidance_scale=args.guidance_scale,
-            num_inference_steps=args.num_inference_steps, key=key,
-        )
+        if args.mode == "i2v":
+            from dynamicscaler_tpu.utils.io import load_image
+
+            cond = load_image(cond_shard[i], args.height, args.width)
+            video, _ = i2v.basic_sample(
+                model, prompt, cond,
+                height=args.height, width=args.width, frames=args.frames,
+                fps=args.fps, guidance_scale=args.guidance_scale,
+                num_inference_steps=args.num_inference_steps, key=key,
+            )
+        else:
+            video, _ = t2v.basic_sample(
+                model, prompt,
+                height=args.height, width=args.width, frames=args.frames,
+                fps=args.fps, guidance_scale=args.guidance_scale,
+                num_inference_steps=args.num_inference_steps, key=key,
+            )
         name = f"r{rank}_{i:04d}_" + "".join(
             c if c.isalnum() else "_" for c in prompt[:40]
         )

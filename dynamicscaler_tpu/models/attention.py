@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dynamicscaler_tpu.models.layers import FeedForward
+from dynamicscaler_tpu.models.layers import (
+    FeedForward,
+    LNParams,
+    ProjParams,
+    layer_norm,
+)
 from dynamicscaler_tpu.ops import fused_temporal
 from dynamicscaler_tpu.ops.attention import attention as _fused_attention
 
@@ -44,50 +49,6 @@ def scaled_attention(
     """Attention over [B, H, N, D]: dispatches to chunked online-softmax /
     fp32-einsum by shape+platform (see ops/attention.py)."""
     return _fused_attention(q, k, v, scale, bias=bias, mask=mask)
-
-
-class LNParams(nn.Module):
-    """Parameter twin of nn.LayerNorm: declares {scale, bias} under this
-    module's scope and returns the raw arrays."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.dim,))
-        b = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return s, b
-
-
-class ProjParams(nn.Module):
-    """Parameter twin of nn.Dense: declares {kernel[, bias]} under this
-    module's scope and returns the raw arrays."""
-
-    in_dim: int
-    out_dim: int
-    use_bias: bool = False
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.out_dim,))
-            if self.use_bias
-            else None
-        )
-        return k, b
-
-
-def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=None):
-    """flax nn.LayerNorm numerics: fp32 fast-variance stats, clamped var,
-    y = (x - mu) * (rsqrt(var + eps) * scale) + bias, cast to dtype."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
-    y = (xf - mu) * (jax.lax.rsqrt(var + eps) * scale) + bias
-    return y.astype(dtype if dtype is not None else x.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -242,6 +203,8 @@ class BasicTransformerBlock(nn.Module):
             img_cross_attention=self.img_cross_attention,
             **attn_kwargs,
         )(x, context=context, mask=mask, ln=(s2, b2), add_residual=True)
-        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(xn) + x
+        s3, b3 = LNParams(self.dim, name="norm3")()
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            x, ln=(s3, b3), add_residual=True
+        )
         return x

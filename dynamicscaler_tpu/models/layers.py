@@ -126,27 +126,93 @@ class MLPEmbed(nn.Module):
         return x
 
 
-class GEGLU(nn.Module):
-    dim_out: int
-    dtype: jnp.dtype = jnp.float32
+class LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm: declares {scale, bias} under this
+    module's scope and returns the raw arrays (for fused kernels)."""
+
+    dim: int
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate, approximate=False)
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class ProjParams(nn.Module):
+    """Parameter twin of nn.Dense: declares {kernel[, bias]} under this
+    module's scope and returns the raw arrays (for fused kernels)."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_dim,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-5, dtype=None):
+    """flax nn.LayerNorm numerics: fp32 fast-variance stats, clamped var,
+    y = (x - mu) * (rsqrt(var + eps) * scale) + bias, cast to dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    y = (xf - mu) * (jax.lax.rsqrt(var + eps) * scale) + bias
+    return y.astype(dtype if dtype is not None else x.dtype)
+
+
+class _GEGLUParams(nn.Module):
+    """Scope twin of the old GEGLU submodule (param path geglu/proj/*)."""
+
+    in_dim: int
+    out2: int
+
+    @nn.compact
+    def __call__(self):
+        return ProjParams(self.in_dim, self.out2, use_bias=True, name="proj")()
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (lvdm/modules/attention.py:386-403, glu=True)."""
+    """GEGLU feed-forward (lvdm/modules/attention.py:386-403, glu=True).
+
+    When ``ln`` (scale, bias) is passed, the pre-FF LayerNorm applies here
+    and, on TPU at C <= 640, the whole LN -> GEGLU -> out [-> +x] sub-block
+    runs as one Pallas kernel (ops/fused_temporal.fused_ln_geglu). Params are
+    declared via holder twins so the tree stays bit-identical to nn.Dense."""
 
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None, add_residual: bool = False):
+        from dynamicscaler_tpu.ops import fused_temporal
+
         inner = int(self.dim * self.mult)
-        x = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="out")(x)
-        return x
+        w1, b1 = _GEGLUParams(self.dim, inner * 2, name="geglu")()
+        w2, b2 = ProjParams(inner, self.dim, use_bias=True, name="out")()
+
+        if ln is not None and x.shape[-1] == self.dim and fused_temporal.ff_fusable(self.dim):
+            return fused_temporal.fused_ln_geglu(
+                x, ln[0], ln[1], w1, b1, w2, b2, add_residual=add_residual
+            )
+
+        x_res = x
+        h = layer_norm(x, ln[0], ln[1], dtype=self.dtype) if ln is not None else x
+        dt = self.dtype
+        a = jnp.dot(h.astype(dt), w1.astype(dt)) + b1.astype(dt)
+        val, gate = jnp.split(a, 2, axis=-1)
+        h = val * nn.gelu(gate, approximate=False)
+        out = jnp.dot(h, w2.astype(dt)) + b2.astype(dt)
+        if add_residual:
+            out = out + x_res
+        return out

@@ -416,15 +416,22 @@ class UNet3D(nn.Module):
         cfg = self.cfg
         B, F, H, W, C = x.shape
 
-        t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(self.dtype)
+        # timesteps: [B] (whole-clip) or [B, F] (per-frame — FIFO diagonal
+        # denoising; the time embedding rides the (B F) batch natively)
+        timesteps = jnp.asarray(timesteps)
+        t_flat = (
+            timesteps.reshape(B * F)
+            if timesteps.ndim == 2
+            else jnp.repeat(timesteps, F, axis=0)
+        )
+        t_emb = timestep_embedding(t_flat, cfg.model_channels).astype(self.dtype)
         emb = self.time_embed(t_emb)
         if cfg.fps_cond:
-            fps = jnp.broadcast_to(jnp.asarray(fps, jnp.float32), (B,))
+            fps = jnp.repeat(jnp.broadcast_to(jnp.asarray(fps, jnp.float32), (B,)), F, axis=0)
             emb = emb + self.fps_embed(timestep_embedding(fps, cfg.model_channels).astype(self.dtype))
 
-        # per-frame expand: context and emb ride the (B F) batch
+        # per-frame expand: context rides the (B F) batch
         ctx = jnp.repeat(context, F, axis=0).astype(self.dtype)  # [(B F), L, D]
-        emb = jnp.repeat(emb, F, axis=0)  # [(B F), emb]
 
         h = x.reshape(B * F, H, W, C).astype(self.dtype)
 

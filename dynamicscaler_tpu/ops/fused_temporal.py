@@ -34,6 +34,8 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -193,6 +195,135 @@ def _fused_call(x, s, b, wq, wk, wv, wo, bo, *, heads, scale, eps,
         interpret=interpret,
     )(x, s, b, wq, wk, wv, wo, bo)
     return out[:R] if pad else out
+
+
+def _erf(x):
+    """float32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 —
+    below bf16 resolution). Mosaic has no erf/erfc lowering."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, eps: float, add_residual: bool):
+    TT, C = x_ref.shape
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * s_ref[:].astype(jnp.float32)
+    h = ((xf - mu) * mul + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    a = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    a = (a + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
+    half = a.shape[-1] // 2
+    val, gate = a[:, :half], a[:, half:]
+    gf = gate.astype(jnp.float32)
+    gelu = gf * 0.5 * (1.0 + _erf(gf * (1.0 / np.sqrt(2.0))))
+    inner = (val.astype(jnp.float32) * gelu).astype(x.dtype)
+
+    out = jnp.dot(inner, w2_ref[:], preferred_element_type=jnp.float32)
+    out = (out + b2_ref[:].astype(jnp.float32)).astype(x.dtype)
+    if add_residual:
+        out = out + x
+    o_ref[:] = out
+
+
+def _ff_token_tile(C: int, itemsize: int) -> int:
+    tt = 512 if C <= 320 else 256
+    if itemsize > 2:
+        tt //= 2
+    return tt
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "add_residual", "interpret"))
+def _fused_ff_call(x2d, s, b, w1, b1, w2, b2, *, eps, add_residual, interpret):
+    T, C = x2d.shape
+    TT = _ff_token_tile(C, x2d.dtype.itemsize)
+    pad = (-T) % TT
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    Tp = T + pad
+    H2 = w1.shape[1]
+
+    x_spec = pl.BlockSpec((TT, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, eps=eps, add_residual=add_residual),
+        out_shape=jax.ShapeDtypeStruct((Tp, C), x2d.dtype),
+        grid=(Tp // TT,),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H2 // 2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * C * H2 + Tp * H2 // 2 * C * 2,
+            bytes_accessed=2 * Tp * C * x2d.dtype.itemsize + (C * H2 + H2 // 2 * C) * 2,
+            transcendentals=Tp * H2 // 2,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2d, s, b, w1, b1, w2, b2)
+    return out[:T] if pad else out
+
+
+def ff_fusable(dim: int) -> bool:
+    if _MODE == "off":
+        return False
+    if not (_MODE == "interpret" or _tpu_available()):
+        return False
+    return 128 <= dim <= 640 and dim % 64 == 0
+
+
+def fused_ln_geglu(
+    x: jnp.ndarray,  # [..., C]
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,  # [C, 8C] GEGLU proj (value ; gate)
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,  # [4C, C]
+    b2: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    add_residual: bool = True,
+) -> jnp.ndarray:
+    """LayerNorm -> GEGLU feed-forward [-> +x] as one Pallas kernel
+    (the transformer blocks' ff sub-block, lvdm/modules/attention.py:386-403
+    with pre-LN). Token-tiled over the flattened leading axes — applies to
+    spatial and temporal transformer blocks alike."""
+    C = x.shape[-1]
+    x2d = x.reshape(-1, C)
+    to2d = lambda t: t.reshape(1, -1)
+    out = _fused_ff_call(
+        x2d,
+        to2d(ln_scale.astype(jnp.float32)),
+        to2d(ln_bias.astype(jnp.float32)),
+        w1.astype(x.dtype),
+        to2d(b1.astype(jnp.float32)),
+        w2.astype(x.dtype),
+        to2d(b2.astype(jnp.float32)),
+        eps=float(eps),
+        add_residual=add_residual,
+        interpret=_MODE == "interpret",
+    )
+    return out.reshape(x.shape)
 
 
 def fused_ln_attention(

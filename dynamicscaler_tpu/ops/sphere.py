@@ -95,7 +95,7 @@ class SphereView:
     v: np.ndarray  # [h, w] float32
     # nearest (floor) sampling, longitude-wrapped / latitude-clamped:
     gather_idx: np.ndarray  # [h, w] int32 linear index v*W + u into pano
-    # nearest scatter, invalid pixels marked with index -1 (dropped):
+    # nearest scatter, invalid pixels marked with index H*W (dropped):
     scatter_idx: np.ndarray  # [h, w] int32
     valid: np.ndarray  # [h, w] bool
 
@@ -124,9 +124,13 @@ def make_sphere_view(
     # validity (panorama_tensor_utils.py:170,197): float coords in range
     valid = (u >= 0) & (u < W) & (v >= 0) & (v < H)
 
-    # set: floor indices, invalid dropped (panorama_tensor_utils.py:154-183)
+    # set: floor indices, invalid dropped (panorama_tensor_utils.py:154-183).
+    # Sentinel is H*W (one past the end), NOT -1: jax scatter with
+    # mode='drop' only drops out-of-bounds indices, while negative indices
+    # wrap python-style — a -1 sentinel would scatter every invalid view
+    # pixel onto the last pano pixel.
     sidx = (v0 * W + u0).astype(np.int64)
-    sidx = np.where(valid & (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H), sidx, -1)
+    sidx = np.where(valid & (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H), sidx, H * W)
     scatter_idx = sidx.astype(np.int32)
 
     return SphereView(
@@ -229,7 +233,7 @@ def set_view_nearest(
     frame_origin=None,
 ) -> jnp.ndarray:
     """Nearest scatter of a view back onto the pano (last-write-wins on
-    duplicate targets, invalid pixels dropped via index -1 + mode='drop').
+    duplicate targets, invalid pixels dropped via index H*W + mode='drop').
     Matches set_view_tensor_no_interpolation
     (panorama_tensor_utils.py:154-183).
 

@@ -11,7 +11,9 @@ DDIM indices ``[0, 1, ..., F-1]`` (front = cleanest). Each iteration runs
 ONE UNet forward with the per-frame index vector, emits the now-clean front
 frame, shifts the queue, and appends fresh noise at the back — so an
 arbitrarily long, temporally coherent stream costs one UNet call per output
-frame. The whole generation loop is a single jitted ``lax.scan``.
+frame. The whole generation loop is a single jitted ``lax.scan``; the UNet is
+conditioned on each queue slot's own timestep (per-frame t rides the
+(B F) batch of the time embedding).
 """
 
 from __future__ import annotations
@@ -47,18 +49,19 @@ def _fifo_loop(
 ):
     F = queue.shape[1]
     indices = jnp.arange(F)  # front frame at index 0 (about to finish)
-    # per-frame DDPM timestep fed to the UNet: t of each frame's own index.
-    # The reference UNet receives a single scalar t; VideoCrafter tolerates
-    # per-sample t only. We feed the QUEUE-MEDIAN timestep (standard
-    # FIFO-Diffusion practice for models without per-frame t conditioning).
-    t_med = schedule.ddim_timesteps[F // 2]
+    # per-frame DDPM timestep fed to the UNet: each queue slot's own t
+    # (true FIFO-Diffusion conditioning — the time embedding rides the
+    # (B F) batch, so per-frame t is native; the reference's fifo machinery
+    # is dormant and its UNet only ever saw a scalar t)
+    t_frames = schedule.ddim_timesteps[indices]  # [F]
+    t2 = jnp.broadcast_to(t_frames[None], (2, F))
     ctx2 = jnp.concatenate([context, uncond], axis=0)
 
     def body(carry, i):
         queue, key = carry
         key, k_noise = jax.random.split(key)
         x2 = jnp.concatenate([queue, queue], axis=0)
-        eps = model.apply_unet(x2, jnp.full((2,), t_med), ctx2, fps, params=params)
+        eps = model.apply_unet(x2, t2, ctx2, fps, params=params)
         eps = eps[1:] + guidance_scale * (eps[:1] - eps[1:])
         stepped, denoised = ddim_step(schedule, queue, eps, indices)
         out_frame = denoised[:, 0]

@@ -34,7 +34,6 @@ from dynamicscaler_tpu.pipelines.conditioning import (
 from dynamicscaler_tpu.pipelines.planar import (
     PlanarShiftWindowEngine,
     StepPlan,
-    earlier_coverage_masks,
 )
 from dynamicscaler_tpu.pipelines.tiled_vae import ring_aware_decode, tiled_vae_encode
 from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
@@ -207,7 +206,6 @@ def sample_shift_multi_windows_integer(
                 model, [(h0, w0) for (_, h0, w0) in origins], pano_image,
                 prompt, None, height, width, th * vs, text_cache, params=params,
             )
-        masks = earlier_coverage_masks(origins, (frames, wh, ww), (total_f, th, tw))
         last = i == steps_eff - 1
         plan.append(
             StepPlan(
@@ -215,7 +213,7 @@ def sample_shift_multi_windows_integer(
                 index=index,
                 origins=np.asarray(origins, np.int32),
                 context=ctx_cache[hw_key],
-                earlier_mask=masks,
+                earlier_mask=None,  # generated on-device inside the step
                 renoise_ratio=None if last or merge_renoised_overlap_latent_ratio is None
                 else float(merge_renoised_overlap_latent_ratio),
                 merge_prev_ratio=None
@@ -237,6 +235,48 @@ def sample_shift_multi_windows_integer(
         if decode
         else None
     )
+    return video, denoised
+
+
+def basic_sample(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    cond_image: np.ndarray,  # [H, W, 3] in [-1, 1] (host)
+    height: int = 320,
+    width: int = 512,
+    frames: int = 16,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    num_inference_steps: int = 48,
+    key: Optional[jax.Array] = None,
+    latents: Optional[jnp.ndarray] = None,
+    decode: bool = True,
+):
+    """Single-window i2v generation — the batch-eval i2v path
+    (scripts/evaluation/inference.py:107-122: context = [text tokens ;
+    CLIP-image tokens], uncond = [empty text ; zero-image tokens],
+    funcs.py:31-35). Returns (video or None, denoised latent)."""
+    from dynamicscaler_tpu.pipelines.t2v import _basic_sample_loop
+
+    sched = make_schedule_for_model(model, num_inference_steps)
+    vs = model.config.vae.spatial_scale
+    h, w = height // vs, width // vs
+
+    text = model.encode_text([prompt])
+    img = model.encode_image_cond(jnp.asarray(cond_image)[None])
+    context = cat_text_image(text, img)
+    uncond = build_uncond_context(model, with_image=True, image_hw=cond_image.shape[:2])
+
+    if latents is None:
+        assert key is not None, "need a PRNG key for the initial noise"
+        latents = jax.random.normal(
+            key, (1, frames, h, w, model.config.unet.in_channels)
+        )
+    latent, denoised = _basic_sample_loop(
+        model.params, sched, latents, context, uncond,
+        model=model, guidance_scale=guidance_scale, fps=fps,
+    )
+    video = model.decode_video(denoised) if decode else None
     return video, denoised
 
 
@@ -335,7 +375,6 @@ def sample_shift_multi_windows(
         overlap_ratio_list_f = [0.25] * S
     steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
     plan: List[StepPlan] = []
-    mask_cache: dict = {}
     ctx_cache: dict = {}
     for i in range(steps_eff):
         index = steps_eff - 1 - i  # == full-table index (see module docs)
@@ -345,18 +384,10 @@ def sample_shift_multi_windows(
             i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
         )
         origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
-        okey = tuple(origins)
-        if okey not in mask_cache:
-            # host-side cache: recompute is the cost; device residency of
-            # every variant OOMs long-video docking schedules
-            mask_cache[okey] = earlier_coverage_masks(
-                origins, (frames, wh, ww), (total_f, th, tw)
-            )
         ck = (phase, len(f_origins))
         if ck not in ctx_cache:
             ctx_cache[ck] = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
         ctx = ctx_cache[ck]
-        masks = mask_cache[okey]
         last = i == steps_eff - 1
         plan.append(
             StepPlan(
@@ -364,7 +395,7 @@ def sample_shift_multi_windows(
                 index=index,
                 origins=np.asarray(origins, np.int32),
                 context=ctx,
-                earlier_mask=masks,
+                earlier_mask=None,  # generated on-device inside the step
                 renoise_ratio=None
                 if last or merge_renoised_overlap_latent_ratio is None
                 else float(merge_renoised_overlap_latent_ratio),

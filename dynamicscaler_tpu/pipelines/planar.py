@@ -62,6 +62,24 @@ def earlier_coverage_masks(
     return masks
 
 
+def device_earlier_masks(origins, sizes, latent_like):
+    """On-device twin of :func:`earlier_coverage_masks`: pure index math over
+    the (traced) origin array, generated inside the jitted step instead of
+    host numpy + a tens-of-MB per-step upload. Returns [N, f, h, w, 1]."""
+    fs, hs, ws = sizes
+
+    def body(cov, origin):
+        m = get_ring_window(cov, tuple(origin), sizes)[0]
+        cov = set_ring_window(
+            cov, jnp.ones((1, fs, hs, ws, 1), cov.dtype), tuple(origin)
+        )
+        return cov, m
+
+    cov0 = jnp.zeros(latent_like.shape[:-1] + (1,), jnp.float32)
+    _, masks = jax.lax.scan(body, cov0, origins)
+    return masks
+
+
 @dataclasses.dataclass(frozen=True)
 class StepPlan:
     """Host-precomputed data for one DDIM step of the window loop."""
@@ -257,6 +275,11 @@ def _window_step(
 
     wins = jax.vmap(gather)(origins)  # [N, f, h, w, C]
     prev = wins
+
+    if (use_renoise or use_merge_prev) and earlier_mask is None and mode == "last":
+        # pure index math — generated in-program from the origins instead of
+        # host numpy + per-step upload
+        earlier_mask = device_earlier_masks(origins, sizes, latent)
 
     if use_renoise and earlier_mask is not None and mode == "last":
         noised = re_noise(schedule, wins, index - 1, index, key=key)

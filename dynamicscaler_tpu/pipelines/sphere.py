@@ -79,7 +79,7 @@ def _phase_view_maps(
 
 
 def sphere_earlier_masks(
-    scatter_idx: np.ndarray,  # [Nv, hs, ws] write footprint (-1 = invalid)
+    scatter_idx: np.ndarray,  # [Nv, hs, ws] write footprint (eq_pixels = invalid)
     f_origins: Sequence[int],
     frames: int,
     total_f: int,
@@ -100,7 +100,7 @@ def sphere_earlier_masks(
     Nv = scatter_idx.shape[0]
     if gather_idx is None:
         gather_idx = scatter_idx
-        gather_valid = scatter_idx >= 0
+        gather_valid = scatter_idx < eq_pixels
     h, w = gather_idx.shape[1:]
     pairs = [(f0, v) for f0 in f_origins for v in range(Nv)]
     cov = np.zeros((total_f, eq_pixels), bool)
@@ -109,12 +109,45 @@ def sphere_earlier_masks(
         fi = (np.arange(frames) + f0) % total_f
         gidx = gather_idx[v].reshape(-1).clip(0)
         gval = gather_valid[v].reshape(-1)
-        m = cov[np.ix_(fi, gidx)]  # [frames, h*w]
+        m = cov[np.ix_(fi, np.minimum(gidx, eq_pixels - 1))]  # [frames, h*w]
         masks[k, ..., 0] = (m & gval[None, :]).reshape(frames, h, w)
         sidx = scatter_idx[v]
-        svalid = sidx >= 0
+        svalid = sidx < eq_pixels
         cov[np.ix_(fi, np.unique(sidx[svalid]))] = True
     return masks
+
+
+def device_sphere_masks(
+    mask_gather_idx: jnp.ndarray,  # [Nv, h, w] native-res read map
+    mask_valid: jnp.ndarray,  # [Nv, h, w] float
+    scatter_idx: jnp.ndarray,  # [Nv, hs, ws] write footprint
+    pair_view: jnp.ndarray,  # [Nw]
+    pair_f: jnp.ndarray,  # [Nw]
+    frames: int,
+    total_f: int,
+    eq_pixels: int,
+) -> jnp.ndarray:
+    """On-device twin of :func:`sphere_earlier_masks` — the within-step
+    earlier-view coverage (reference denoised_mask,
+    i2v_sphere_panorama_pipeline.py:345-365), generated in-program: coverage
+    is written with each pair's scatter footprint and read back through the
+    native-resolution gather maps. Pure index math — replaces host numpy +
+    a tens-of-MB per-step upload. Returns [Nw, frames, h, w, 1]."""
+    mh, mw = mask_gather_idx.shape[1:]
+
+    def body(cov, xs):
+        v_idx, f0 = xs
+        fi = wrap_slice_indices(f0, frames, total_f)
+        gi = jnp.minimum(mask_gather_idx[v_idx].reshape(-1), eq_pixels - 1)
+        gval = mask_valid[v_idx].reshape(-1)
+        m = cov[fi][:, gi] * gval[None, :]
+        si = scatter_idx[v_idx].reshape(-1)
+        cov = cov.at[fi[:, None], si[None, :]].set(1.0, mode="drop")
+        return cov, m
+
+    cov0 = jnp.zeros((total_f, eq_pixels), jnp.float32)
+    _, masks = jax.lax.scan(body, cov0, (pair_view, pair_f))
+    return masks.reshape(pair_view.shape[0], frames, mh, mw, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +167,8 @@ def _sphere_step(
     f_origins: jnp.ndarray,  # [Nf]
     pair_view: jnp.ndarray,  # [Nw] view index per pair
     pair_f: jnp.ndarray,  # [Nw] frame origin per pair
-    earlier_mask: jnp.ndarray,  # [Nw, frames, h, w, 1]
+    mask_gather_idx: jnp.ndarray,  # [Nv, h, w] native-res coverage read map
+    mask_valid: jnp.ndarray,  # [Nv, h, w] float
     context: jnp.ndarray,  # [Nw, L, D]
     uncond_context: jnp.ndarray,
     t,
@@ -172,6 +206,13 @@ def _sphere_step(
         gh, gw = wins.shape[2] // get_scale, wins.shape[3] // get_scale
         wins = resize_video_latent(wins, gh, gw, mode="nearest")
     prev = wins
+
+    earlier_mask = None
+    if use_renoise or use_merge_prev:
+        earlier_mask = device_sphere_masks(
+            mask_gather_idx, mask_valid, scatter_idx, pair_view, pair_f,
+            frames, F, EH * EW,
+        )
 
     if use_renoise:
         noised = re_noise(schedule, wins, index - 1, index, key=key)
@@ -450,8 +491,6 @@ def sample_shift_sphere_panorama(
     )
 
     denoised = jnp.zeros_like(latent)
-    eq_pixels = eq_lat_h * eq_lat_w
-    mask_cache: Dict = {}
     for i in range(steps_eff):
         # with skip the table index keeps counting from the truncated top
         index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
@@ -463,19 +502,6 @@ def sample_shift_sphere_panorama(
         Nv = len(views)
         pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
         pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
-        mask_key = (phase, tuple(f_origins))
-        if mask_key not in mask_cache:
-            # masks depend only on (phase, frame windows) — the numpy
-            # computation is the expensive part, so cache on HOST; the
-            # per-step upload (~tens of MB) is cheap, and keeping every
-            # variant on device OOMs long-video schedules
-            mask_cache[mask_key] = sphere_earlier_masks(
-                set_maps[phase]["scatter_np"], f_origins, frames, total_f,
-                eq_pixels,
-                gather_idx=native_maps[phase]["gather_np"],
-                gather_valid=native_maps[phase]["valid_np"],
-            )
-        masks = jnp.asarray(mask_cache[mask_key])
         ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
         last = i == steps_eff - 1
         use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last
@@ -492,7 +518,8 @@ def sample_shift_sphere_panorama(
             jnp.asarray(f_origins, jnp.int32),
             jnp.asarray(pair_view),
             jnp.asarray(pair_f),
-            masks,
+            native_maps[phase]["gather"],
+            native_maps[phase]["valid"],
             ctx,
             uncond,
             jnp.asarray(int(sched.ddim_timesteps[index]), jnp.int32),

@@ -27,7 +27,6 @@ from dynamicscaler_tpu.pipelines.conditioning import build_uncond_context
 from dynamicscaler_tpu.pipelines.planar import (
     PlanarShiftWindowEngine,
     StepPlan,
-    earlier_coverage_masks,
 )
 from dynamicscaler_tpu.core.windows import IntegerGrid
 
@@ -243,15 +242,8 @@ def sample_shift_multi_windows(
 
     S = sched.num_ddim_steps
     plan: List[StepPlan] = []
-    mask_cache: dict = {}
     for i in range(S):
         origins = np.asarray(grid.step_origins(i), np.int32)
-        okey = tuple(map(tuple, origins))
-        if okey not in mask_cache:
-            mask_cache[okey] = earlier_coverage_masks(
-                list(okey), (frames, wh, ww), (total_f, total_h, total_w)
-            )
-        masks = mask_cache[okey]
         last = i == S - 1
         plan.append(
             StepPlan(
@@ -259,7 +251,7 @@ def sample_shift_multi_windows(
                 index=S - 1 - i,
                 origins=origins,
                 context=jnp.broadcast_to(context, (len(origins),) + context.shape[1:]),
-                earlier_mask=masks,
+                earlier_mask=None,  # generated on-device inside the step
                 renoise_ratio=None if last else merge_renoised_overlap_latent_ratio,
                 merge_prev_ratio=None
                 if last or merge_prev_denoised_ratio_list is None

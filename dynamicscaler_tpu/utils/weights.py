@@ -339,6 +339,48 @@ def convert_resampler(sd: Dict[str, Any], cfg: ResamplerConfig) -> Dict[str, Any
 # ---------------------------------------------------------------------------
 
 
+class EmaFallbackDict(dict):
+    """UNet state-dict view with EMA-shadow fallback (lvdm/ema.py:5-23).
+
+    LitEma registers shadow buffers named after the wrapped model's param
+    names with dots stripped (``model_ema.diffusion_modelinput_blocks00weight``).
+    A checkpoint carrying only EMA weights (or missing some primaries) would
+    otherwise silently convert an incomplete tree; this view resolves any
+    missing ``input_blocks.0.0.weight``-style key via its stripped shadow
+    name. With ``prefer_ema`` the shadow wins even when the primary exists
+    (the reference's ``ema_scope`` inference behavior, ddpm3d.py:167-180).
+    """
+
+    def __init__(self, primary: Dict[str, Any], shadow: Dict[str, Any],
+                 prefix: str = "diffusion_model.", prefer_ema: bool = False):
+        super().__init__(primary)
+        self._shadow = shadow
+        self._prefix = prefix
+        self._prefer = prefer_ema
+
+    def _sname(self, key: str) -> str:
+        return (self._prefix + key).replace(".", "")
+
+    def __getitem__(self, key):
+        s = self._sname(key)
+        if (self._prefer or not super().__contains__(key)) and s in self._shadow:
+            return self._shadow[s]
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or self._sname(key) in self._shadow
+
+
+def extract_ema_shadow(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """``model_ema.*`` shadow buffers (minus LitEma's decay/num_updates)."""
+    return {
+        k[len("model_ema."):]: v
+        for k, v in raw.items()
+        if k.startswith("model_ema.")
+        and k not in ("model_ema.decay", "model_ema.num_updates")
+    }
+
+
 def split_state_dict(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
     """Split a full VideoCrafter checkpoint into per-component sub-dicts
     (prefix-stripped)."""
@@ -358,10 +400,13 @@ def split_state_dict(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
     return out
 
 
-def load_videocrafter_checkpoint(path: str, config: ModelConfig) -> Dict[str, Any]:
+def load_videocrafter_checkpoint(
+    path: str, config: ModelConfig, prefer_ema: bool = False
+) -> Dict[str, Any]:
     """Load + convert a torch VideoCrafter ckpt into the LatentVideoDiffusion
-    params dict. Handles Lightning 'state_dict' nesting and DeepSpeed
-    'module.' prefixes (funcs.py:88-104)."""
+    params dict. Handles Lightning 'state_dict' nesting, DeepSpeed 'module.'
+    prefixes (funcs.py:88-104), and EMA-shadow fallback/preference
+    (lvdm/ema.py:5-76; only the UNet is EMA'd — VAE/CLIP are frozen)."""
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
@@ -370,9 +415,15 @@ def load_videocrafter_checkpoint(path: str, config: ModelConfig) -> Dict[str, An
     elif "module" in raw:  # deepspeed
         raw = {k[len("module."):]: v for k, v in raw["module"].items()}
     parts = split_state_dict(raw)
+    shadow = extract_ema_shadow(raw)
+    unet_sd = (
+        EmaFallbackDict(parts["unet"], shadow, prefer_ema=prefer_ema)
+        if shadow
+        else parts["unet"]
+    )
 
     params: Dict[str, Any] = {
-        "unet": convert_unet(parts["unet"], config.unet),
+        "unet": convert_unet(unet_sd, config.unet),
         "vae": convert_vae(parts["vae"], config.vae),
         "clip_text": convert_clip_text(parts["clip_text"], config.clip_text),
     }

@@ -78,3 +78,28 @@ def test_batch_eval_rank_sharding(tmp_path):
     # rank 1 of 2 gets prompt index 1 only ("two")
     assert any("two" in o for o in outs)
     assert not any("one" in o or "three" in o for o in outs)
+
+
+def test_batch_eval_i2v_mode(tmp_path):
+    """--mode i2v pairs sorted cond images with prompts 1:1
+    (scripts/evaluation/inference.py:80-85,111-117)."""
+    from PIL import Image
+    import numpy as np
+    from dynamicscaler_tpu.cli import batch_eval
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("alpha\nbeta\n")
+    cond = tmp_path / "cond"
+    cond.mkdir()
+    for n in ("a.png", "b.png"):
+        Image.fromarray(np.full((16, 16, 3), 128, np.uint8)).save(cond / n)
+    args = batch_eval.parse_args(
+        [
+            "--prompt_file", str(pf), "--dev_tiny", "--mode", "i2v",
+            "--cond_input", str(cond), "--output_dir", str(tmp_path / "o"),
+            "--rank", "0", "--world_size", "1",
+        ]
+    )
+    batch_eval.main(args)
+    outs = os.listdir(tmp_path / "o")
+    assert any("alpha" in o for o in outs) and any("beta" in o for o in outs)

@@ -117,3 +117,21 @@ def test_block_param_tree_unchanged(rng):
         "ff/out/kernel", "ff/out/bias",
     }
     assert paths == expected, paths.symmetric_difference(expected)
+
+
+def test_ff_kernel_matches_unfused(rng):
+    """Fused LN+GEGLU kernel (interpret) == the manual-matmul FF path."""
+    from dynamicscaler_tpu.models.layers import FeedForward
+
+    mod = FeedForward(dim=128, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 10, 128)).astype(np.float32)) * 0.7
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(128).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(128).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x, ln=(s, b), add_residual=True)
+
+    fused_temporal.set_mode("off")
+    ref = mod.apply(params, x, ln=(s, b), add_residual=True)
+    fused_temporal.set_mode("interpret")
+    got = mod.apply(params, x, ln=(s, b), add_residual=True)
+    # the kernel's polynomial erf differs from XLA erf by <=1.5e-7 abs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)

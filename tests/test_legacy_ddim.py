@@ -218,3 +218,33 @@ def test_temporal_guidance_real_not_noop(rng):
         np.asarray(temporal_guidance_combine(e, et, ei, 0.5)),
         np.asarray(e + 0.5 * (et - ei)),
     )
+
+
+def test_unet_per_frame_timesteps(rng):
+    """UNet3D accepts per-frame timesteps [B, F] (FIFO diagonal denoising);
+    a constant per-frame vector must equal the scalar-t path bitwise, and a
+    staggered vector must differ."""
+    from dynamicscaler_tpu.config import UNetConfig
+    from dynamicscaler_tpu.models.unet3d import UNet3D
+
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=(1, 2), num_res_blocks=1, channel_mult=(1, 2),
+        num_head_channels=16, transformer_depth=1, context_dim=64,
+        temporal_length=4, fps_cond=True, use_image_attention=False,
+    )
+    unet = UNet3D(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 77, 64)).astype(np.float32))
+    t = jnp.full((1,), 500, jnp.int32)
+    p = unet.init(jax.random.PRNGKey(0), x, t, ctx, 16)
+    # un-zero the output conv so differences are observable
+    p = jax.tree_util.tree_map_with_path(
+        lambda kp, v: jnp.full_like(v, 0.05)
+        if [str(k.key) for k in kp][-2:] == ["out_conv", "kernel"] else v, p,
+    )
+    out_scalar = unet.apply(p, x, t, ctx, 16)
+    out_const = unet.apply(p, x, jnp.full((1, 4), 500, jnp.int32), ctx, 16)
+    np.testing.assert_array_equal(np.asarray(out_scalar), np.asarray(out_const))
+    out_stag = unet.apply(p, x, jnp.asarray([[100, 300, 500, 900]], jnp.int32), ctx, 16)
+    assert np.abs(np.asarray(out_stag) - np.asarray(out_scalar)).max() > 1e-5

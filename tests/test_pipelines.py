@@ -192,3 +192,76 @@ def test_ring_decode_w_tiles_matches_whole(i2v_model):
     d = np.abs(whole - tiled)
     assert d.mean() < 0.05, d.mean()
     assert np.corrcoef(whole.ravel(), tiled.ravel())[0, 1] > 0.99
+
+
+def test_device_masks_match_host_planar():
+    """On-device earlier-coverage masks (generated inside the jitted step)
+    must equal the host-numpy oracle for wrapping, overlapping windows."""
+    from dynamicscaler_tpu.pipelines.planar import device_earlier_masks
+
+    origins = [(0, 0, 0), (1, 2, 8), (0, 2, 10), (1, 0, 4)]
+    sizes = (2, 4, 8)
+    dims = (2, 4, 12)
+    host = earlier_coverage_masks(origins, sizes, dims)
+    lat = jnp.zeros((1,) + dims + (4,))
+    dev = jax.jit(lambda o: device_earlier_masks(o, sizes, lat))(
+        jnp.asarray(origins, jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_device_masks_match_host_sphere():
+    """On-device sphere coverage masks == host oracle, including views with
+    invalid (out-of-pano) pixels and frame ring windows."""
+    from dynamicscaler_tpu.ops.sphere import make_sphere_view
+    from dynamicscaler_tpu.pipelines.sphere import (
+        device_sphere_masks,
+        sphere_earlier_masks,
+    )
+
+    H, W = 16, 32
+    views = [make_sphere_view(fov, th, ph, 6, 8, H, W)
+             for (fov, th, ph) in [(120, 0, 0), (120, 90, 0), (120, 0, 45)]]
+    scatter = np.stack([v.scatter_idx for v in views])
+    gather = np.stack([v.gather_idx for v in views])
+    valid = np.stack([v.valid for v in views])
+    f_origins = [0, 3]
+    frames, total_f = 2, 4
+    Nv = len(views)
+    pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
+    pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
+
+    host = sphere_earlier_masks(
+        scatter, f_origins, frames, total_f, H * W,
+        gather_idx=gather, gather_valid=valid,
+    )
+    dev = jax.jit(
+        lambda pv, pf: device_sphere_masks(
+            jnp.asarray(gather), jnp.asarray(valid.astype(np.float32)),
+            jnp.asarray(scatter), pv, pf, frames, total_f, H * W,
+        )
+    )(jnp.asarray(pair_view), jnp.asarray(pair_f))
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_scatter_sentinel_drops_invalid_pixels():
+    """Invalid view pixels must not write anywhere (the reference masks
+    them, panorama_tensor_utils.py:154-183). Regression: a -1 sentinel
+    under jax mode='drop' WRAPS onto the last pano pixel; the sentinel is
+    H*W (out of bounds), which mode='drop' actually drops. Views built by
+    make_sphere_view are currently always fully valid (longitude wraps,
+    latitude clamps), so this exercises the sentinel synthetically."""
+    from dynamicscaler_tpu.ops.sphere import set_view_nearest
+
+    H, W = 4, 6
+    sidx = np.full((2, 3), H * W, np.int32)  # all invalid
+    sidx[0, 0], sidx[1, 2] = 5, 17
+    pano = jnp.zeros((1, 1, H, W, 1))
+    out = np.asarray(
+        set_view_nearest(pano, jnp.ones((1, 1, 2, 3, 1)), jnp.asarray(sidx))
+    ).reshape(-1)
+    expect = np.zeros(H * W)
+    expect[[5, 17]] = 1.0
+    np.testing.assert_array_equal(out, expect)
+    # the last pano pixel (the -1 wrap target) stays untouched
+    assert out[-1] == 0.0

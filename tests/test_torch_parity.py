@@ -305,3 +305,39 @@ def test_unet_parity_relative_position():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=3e-4, rtol=1e-3
     )
+
+
+def test_ema_shadow_fallback(torch_unet):
+    """A checkpoint carrying only EMA shadow weights (lvdm/ema.py:16-21
+    naming: param path with dots stripped, under model_ema.*) must convert
+    to the same tree as the primary weights."""
+    cfg = tiny_unet_cfg()
+    primary = torch_unet.state_dict()
+    ref_tree = W.convert_unet(primary, cfg)
+
+    raw = {
+        "model_ema." + ("diffusion_model." + k).replace(".", ""): v
+        for k, v in primary.items()
+    }
+    raw["model_ema.decay"] = torch.tensor(0.9999)
+    raw["model_ema.num_updates"] = torch.tensor(100)
+    shadow = W.extract_ema_shadow(raw)
+    assert "decay" not in shadow and "num_updates" not in shadow
+    ema_sd = W.EmaFallbackDict({}, shadow)
+    got_tree = W.convert_unet(ema_sd, cfg)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        got_tree, ref_tree,
+    )
+
+    # prefer_ema: shadow wins over a (perturbed) primary
+    shadow2 = {k: v + 1.0 for k, v in shadow.items()}
+    both = W.EmaFallbackDict(primary, shadow2, prefer_ema=True)
+    got2 = W.convert_unet(both, cfg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b) + 1.0, atol=1e-6
+        ),
+        got2, ref_tree,
+    )
