@@ -93,6 +93,7 @@ class VArgs:
     save_latents: bool = True
     profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
     dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
+    dev_full_random: bool = False  # full-size constant-weight model (perf, no assets)
 
     @classmethod
     def from_args(cls, argv=None) -> "VArgs":
@@ -122,6 +123,14 @@ def build_model(vargs: VArgs):
             tokenizer=HashTokenizer(512),
         )
         return model
+
+    if vargs.dev_full_random:
+        # full-size architecture, constant weights, hash tokenizer: the
+        # asset-free configuration for end-to-end perf measurement
+        # (compute-identical to converted weights)
+        return LatentVideoDiffusion.init_constant(
+            videocrafter_i2v(dtype=vargs.dtype), tokenizer=HashTokenizer(49408)
+        )
 
     from dynamicscaler_tpu.utils.weights import load_videocrafter_checkpoint
 
@@ -177,6 +186,15 @@ def main(vargs: VArgs):
         vargs.project_name or time.strftime("pano-%Y%m%d-%H%M%S"),
     )
     os.makedirs(out_dir, exist_ok=True)
+    if vargs.dev_full_random and not os.path.exists(vargs.pano_image_path):
+        from PIL import Image
+
+        h0, w0 = vargs.equirect_height, vargs.equirect_width
+        yy, xx = np.mgrid[0:h0, 0:w0]
+        img = np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1).astype(np.uint8)
+        path = os.path.join(out_dir, "synthetic_pano.png")
+        Image.fromarray(img).save(path)
+        vargs = dataclasses.replace(vargs, pano_image_path=path)
     with open(os.path.join(out_dir, "args.json"), "w") as f:
         json.dump(dataclasses.asdict(vargs), f, indent=2)
 

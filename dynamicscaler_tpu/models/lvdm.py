@@ -115,6 +115,20 @@ class LatentVideoDiffusion:
             )
         return cls(config=config, params=params, tokenizer=tokenizer)
 
+    @classmethod
+    def init_constant(
+        cls, config: ModelConfig, value: float = 0.01, tokenizer=None
+    ) -> "LatentVideoDiffusion":
+        """Full-size model with constant-filled weights, built via eval_shape
+        (no giant host RNG). Compute-identical to real weights — the
+        asset-free path for full-scale perf measurement (bench.py uses the
+        same convention)."""
+        shapes = jax.eval_shape(
+            lambda: cls.init_random(config, jax.random.PRNGKey(0)).params
+        )
+        params = jax.tree.map(lambda s: jnp.full(s.shape, value, s.dtype), shapes)
+        return cls(config=config, params=params, tokenizer=tokenizer)
+
     # -- pure apply methods --------------------------------------------------
 
     def apply_unet(self, x, t, context, fps=16, params=None, no_temporal_attn=False):
