@@ -84,7 +84,7 @@ class VArgs:
     output_dir: str = "./results"
     project_name: str = ""
     overlap_mode: str = "last"
-    unet_microbatch: int = 0
+    unet_microbatch: int = 8
     view_get_scale_factor: int = 1
     view_set_scale_factor: int = 1
     # shard the window batch across this many local devices (0 = single)

@@ -126,7 +126,11 @@ class LatentVideoDiffusion:
         shapes = jax.eval_shape(
             lambda: cls.init_random(config, jax.random.PRNGKey(0)).params
         )
-        params = jax.tree.map(lambda s: jnp.full(s.shape, value, s.dtype), shapes)
+        # store params in the compute dtype (a 1.44B-param fp32 tree is
+        # 5.8 GB of HBM that the bf16 modules would down-cast per use anyway;
+        # same convention as bench.py)
+        dt = config.jnp_dtype
+        params = jax.tree.map(lambda s: jnp.full(s.shape, value, dt), shapes)
         return cls(config=config, params=params, tokenizer=tokenizer)
 
     # -- pure apply methods --------------------------------------------------

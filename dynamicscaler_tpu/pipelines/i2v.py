@@ -143,7 +143,7 @@ def sample_shift_multi_windows_integer(
     progressive_skip: bool = False,
     overlap_mode: str = "last",
     mesh=None,
-    unet_microbatch: int = 0,
+    unet_microbatch: int = 8,
     key=None,
     decode: bool = True,
     params=None,
@@ -309,7 +309,7 @@ def sample_shift_multi_windows(
     progressive_skip: bool = False,
     overlap_mode: str = "last",
     mesh=None,
-    unet_microbatch: int = 0,
+    unet_microbatch: int = 8,
     key: Optional[jax.Array] = None,
     decode: bool = True,
     params=None,

@@ -103,7 +103,7 @@ class PlanarShiftWindowEngine:
         fps: int = 16,
         overlap_mode: str = "last",
         mesh=None,
-        unet_microbatch: int = 0,
+        unet_microbatch: int = 8,
     ):
         assert overlap_mode in ("last", "average", "sequential")
         self.model = model

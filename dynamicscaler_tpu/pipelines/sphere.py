@@ -353,7 +353,7 @@ def sample_shift_sphere_panorama(
     view_set_scale_factor: int = 1,
     overlap_mode: str = "last",
     mesh=None,
-    unet_microbatch: int = 0,
+    unet_microbatch: int = 8,
     use_image_cond: Optional[bool] = None,
     key: Optional[jax.Array] = None,
     decode: bool = False,

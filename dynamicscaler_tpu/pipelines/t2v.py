@@ -154,7 +154,7 @@ def sample_shift_multi_windows(
     pre_denoise_steps: int = 0,
     overlap_mode: str = "last",
     mesh=None,
-    unet_microbatch: int = 0,
+    unet_microbatch: int = 8,
     key: Optional[jax.Array] = None,
     decode: bool = True,
 ):

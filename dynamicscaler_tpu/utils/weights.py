@@ -401,12 +401,20 @@ def split_state_dict(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
 
 
 def load_videocrafter_checkpoint(
-    path: str, config: ModelConfig, prefer_ema: bool = False
+    path: str,
+    config: ModelConfig,
+    prefer_ema: bool = False,
+    param_dtype: str = "compute",
 ) -> Dict[str, Any]:
     """Load + convert a torch VideoCrafter ckpt into the LatentVideoDiffusion
     params dict. Handles Lightning 'state_dict' nesting, DeepSpeed 'module.'
     prefixes (funcs.py:88-104), and EMA-shadow fallback/preference
-    (lvdm/ema.py:5-76; only the UNet is EMA'd — VAE/CLIP are frozen)."""
+    (lvdm/ema.py:5-76; only the UNet is EMA'd — VAE/CLIP are frozen).
+
+    ``param_dtype``: "compute" (default) stores the tree in the model's
+    compute dtype — a 1.44B-param fp32 tree costs 5.8 GB of HBM that bf16
+    modules would down-cast per use anyway; "float32" keeps full precision
+    (norm scales/biases then enter their fp32 math unrounded)."""
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
@@ -431,4 +439,16 @@ def load_videocrafter_checkpoint(
         params["clip_vision"] = convert_clip_vision(parts["clip_vision"], config.clip_vision)
     if config.resampler and parts["resampler"]:
         params["resampler"] = convert_resampler(parts["resampler"], config.resampler)
+    if param_dtype != "float32":
+        import jax
+        import jax.numpy as jnp
+
+        dt = config.jnp_dtype if param_dtype == "compute" else jnp.dtype(param_dtype)
+        if dt != jnp.float32:
+            params = jax.tree.map(
+                lambda a: jnp.asarray(a, dt)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else jnp.asarray(a),
+                params,
+            )
     return params

@@ -103,3 +103,41 @@ def test_batch_eval_i2v_mode(tmp_path):
     batch_eval.main(args)
     outs = os.listdir(tmp_path / "o")
     assert any("alpha" in o for o in outs) and any("beta" in o for o in outs)
+
+
+def test_demo_server_generates(tmp_path):
+    """The stdlib HTTP demo (reference gradio surface, t2v_test.py:9-61):
+    form page served, POST /generate runs a tiny generation and inlines
+    the animation."""
+    import http.client
+    import threading
+    import jax
+
+    from dynamicscaler_tpu.cli.demo import make_server
+    from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion, tiny_test_config
+    from dynamicscaler_tpu.utils.tokenizer import HashTokenizer
+
+    model = LatentVideoDiffusion.init_random(
+        tiny_test_config(img_attention=False), jax.random.PRNGKey(0),
+        tokenizer=HashTokenizer(512),
+    )
+    server = make_server(
+        model, port=0, result_dir=str(tmp_path),
+        defaults={"steps": 2, "height": 32, "width": 32},
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "Generate" in page and "Prompt" in page
+
+        body = "prompt=a+swan&steps=2&cfg=7.5&seed=1"
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/x-www-form-urlencoded"})
+        resp = conn.getresponse().read().decode()
+        assert "data:image/gif;base64," in resp or "data:video/mp4;base64," in resp
+    finally:
+        server.shutdown()
