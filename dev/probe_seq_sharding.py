@@ -49,7 +49,7 @@ def main():
         params, sched, latent, denoised, jnp.asarray(origins), em,
         ctx, uctx, jnp.int32(500), jnp.int32(3), jnp.asarray(0.5),
         jnp.asarray(0.5), jax.random.PRNGKey(0),
-        use_renoise=True, use_merge_prev=True,
+
     )
     compiled = lowered.compile()
     hlo = compiled.as_text()

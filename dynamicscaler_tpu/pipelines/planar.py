@@ -124,7 +124,6 @@ class PlanarShiftWindowEngine:
                 mesh=mesh,
                 unet_microbatch=unet_microbatch,
             ),
-            static_argnames=("use_renoise", "use_merge_prev"),
             # the previous step's latent/denoised buffers are dead after the
             # call — donate them so giant panorama latents update in place
             donate_argnums=(2, 3),
@@ -145,7 +144,12 @@ class PlanarShiftWindowEngine:
         # caller's init latent stays valid
         latent = jnp.array(latent, copy=True)
         denoised = jnp.zeros_like(latent)
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
         for i, sp in enumerate(plan):
+            _t0 = _time.perf_counter()
             step_key = jax.random.fold_in(key, i)
             if pre_step is not None:
                 latent = pre_step(latent, i, jax.random.fold_in(step_key, 7))
@@ -163,9 +167,11 @@ class PlanarShiftWindowEngine:
                 jnp.asarray(0.0 if sp.renoise_ratio is None else sp.renoise_ratio),
                 jnp.asarray(0.0 if sp.merge_prev_ratio is None else sp.merge_prev_ratio),
                 step_key,
-                use_renoise=sp.renoise_ratio is not None,
-                use_merge_prev=sp.merge_prev_ratio is not None,
             )
+            if _timing:
+                jax.block_until_ready(latent)
+                print(f"[planar] step {i}/{len(plan)} N={len(sp.origins)} "
+                      f"{_time.perf_counter() - _t0:.2f}s", flush=True)
         return latent, denoised
 
 
@@ -191,8 +197,6 @@ def _window_step(
     mode,
     mesh=None,
     unet_microbatch: int = 0,
-    use_renoise: bool,
-    use_merge_prev: bool,
 ):
     from dynamicscaler_tpu.parallel.mesh import constrain_latent, constrain_window_batch
 
@@ -247,15 +251,13 @@ def _window_step(
             win = get_ring_window(lat, tuple(origin), sizes)
             mask_win = get_ring_window(mask_global, tuple(origin), sizes)
             prev = win
-            if use_renoise:
-                noised = re_noise(
-                    schedule, win, index - 1, index, key=jax.random.fold_in(key, k)
-                )
-                win = mix_with_mask(win, noised, mask_win, renoise_ratio)
+            noised = re_noise(
+                schedule, win, index - 1, index, key=jax.random.fold_in(key, k)
+            )
+            win = mix_with_mask(win, noised, mask_win, renoise_ratio)
             new, den_w = denoise_batch(win[0][None], ctx[None])
             new, den_w = new[0][None], den_w[0][None]
-            if use_merge_prev:
-                new = mix_with_mask(new, prev, mask_win, merge_prev_ratio)
+            new = mix_with_mask(new, prev, mask_win, merge_prev_ratio)
             lat = set_ring_window(lat, new, tuple(origin))
             den = set_ring_window(den, den_w, tuple(origin))
             mask_global = set_ring_window(
@@ -276,18 +278,21 @@ def _window_step(
     wins = jax.vmap(gather)(origins)  # [N, f, h, w, C]
     prev = wins
 
-    if (use_renoise or use_merge_prev) and earlier_mask is None and mode == "last":
+    if earlier_mask is None and mode == "last":
         # pure index math — generated in-program from the origins instead of
         # host numpy + per-step upload
         earlier_mask = device_earlier_masks(origins, sizes, latent)
 
-    if use_renoise and earlier_mask is not None and mode == "last":
+    if mode == "last":
+        # ratios are traced (0.0 = no-op mix): one step program for every
+        # step of the schedule, so the expensive first-call program load
+        # happens once instead of once per renoise/merge variant
         noised = re_noise(schedule, wins, index - 1, index, key=key)
         wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
 
     new, den = denoise_batch(wins, context)
 
-    if use_merge_prev and earlier_mask is not None and mode == "last":
+    if mode == "last":
         new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
 
     if mode == "average":

@@ -175,6 +175,7 @@ def _sphere_step(
     index,
     renoise_ratio,
     merge_prev_ratio,
+    paste_on_static_flag,  # traced bool scalar
     key,
     *,
     model: LatentVideoDiffusion,
@@ -182,9 +183,6 @@ def _sphere_step(
     guidance: float,
     fps: int,
     mode: str,
-    use_renoise: bool,
-    use_merge_prev: bool,
-    paste_on_static: bool,
     unet_microbatch: int = 0,
     mesh=None,
     get_scale: int = 1,
@@ -207,16 +205,14 @@ def _sphere_step(
         wins = resize_video_latent(wins, gh, gw, mode="nearest")
     prev = wins
 
-    earlier_mask = None
-    if use_renoise or use_merge_prev:
-        earlier_mask = device_sphere_masks(
-            mask_gather_idx, mask_valid, scatter_idx, pair_view, pair_f,
-            frames, F, EH * EW,
-        )
-
-    if use_renoise:
-        noised = re_noise(schedule, wins, index - 1, index, key=key)
-        wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
+    # ratios are traced (0.0 = no-op mix): one step program for the whole
+    # schedule, so the expensive first-call program load happens once
+    earlier_mask = device_sphere_masks(
+        mask_gather_idx, mask_valid, scatter_idx, pair_view, pair_f,
+        frames, F, EH * EW,
+    )
+    noised = re_noise(schedule, wins, index - 1, index, key=key)
+    wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
 
     frame_idx = jnp.full((frames,), index, jnp.int32)
 
@@ -253,8 +249,7 @@ def _sphere_step(
 
     new, den = ddim_step(schedule, wins, eps, frame_idx)
 
-    if use_merge_prev:
-        new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
+    new = mix_with_mask(new, prev, earlier_mask, merge_prev_ratio)
 
     if set_scale != 1:
         sh, sw = new.shape[2] * set_scale, new.shape[3] * set_scale
@@ -262,11 +257,12 @@ def _sphere_step(
         den = resize_video_latent(den, sh, sw, mode="nearest")
 
     # scatter target: re-noised static pano (paste_on_static) or the latent
-    if paste_on_static:
-        clean = jnp.broadcast_to(static_clean, (B, F) + static_clean.shape[2:])
-        target = re_noise(schedule, clean, 0, index, key=jax.random.fold_in(key, 1))
-    else:
-        target = latent
+    # (traced select — keeps one program for paste and non-paste steps)
+    clean = jnp.broadcast_to(static_clean, (B, F) + static_clean.shape[2:])
+    renoised_static = re_noise(
+        schedule, clean, 0, index, key=jax.random.fold_in(key, 1)
+    )
+    target = jnp.where(paste_on_static_flag, renoised_static, latent)
 
     tgt_flat = target.reshape(F, EH * EW, C)
     den_flat = denoised_buf.reshape(F, EH * EW, C)
@@ -406,6 +402,17 @@ def sample_shift_sphere_panorama(
             eq_lat_h, eq_lat_w, phi_fov_dict,
         )
 
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        if _timing:
+            print(f"[sphere-setup] {name}: {_time.perf_counter() - _t0:.2f}s cum", flush=True)
+
+    _mark("maps")
     text_cache: dict = {}
     phase_ctx: Dict[int, jnp.ndarray] = {}
     for phase, views in phase_views.items():
@@ -431,6 +438,9 @@ def sample_shift_sphere_panorama(
         else:
             phase_ctx[phase] = text_embs
 
+    if _timing:
+        jax.block_until_ready(list(phase_ctx.values()))
+    _mark("phase conditioning (CLIP)")
     uncond = build_uncond_context(
         model, with_image=use_image_cond, image_hw=(lat_h, lat_w)
     )
@@ -464,6 +474,10 @@ def sample_shift_sphere_panorama(
     else:
         latent = jnp.asarray(init_sphere_latent)
 
+    if _timing:
+        jax.block_until_ready((static_clean, latent))
+    _mark("static encode + init latent")
+
     # ---- step loop ----------------------------------------------------------
     steps_eff = S
     if use_skip_time and not progressive_skip:
@@ -487,11 +501,15 @@ def sample_shift_sphere_panorama(
             get_scale=view_get_scale_factor,
             set_scale=view_set_scale_factor,
         ),
-        static_argnames=("use_renoise", "use_merge_prev", "paste_on_static"),
     )
 
     denoised = jnp.zeros_like(latent)
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
     for i in range(steps_eff):
+        _t0 = _time.perf_counter()
         # with skip the table index keeps counting from the truncated top
         index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
         phase = i % loop_step_theta
@@ -531,11 +549,13 @@ def sample_shift_sphere_panorama(
             jnp.asarray(
                 0.0 if not use_mp else float(merge_prev_denoised_ratio_list[i])
             ),
+            jnp.asarray(bool(paste_on_static and not last)),
             jax.random.fold_in(k_run, i),
-            use_renoise=use_ren,
-            use_merge_prev=use_mp,
-            paste_on_static=bool(paste_on_static and not last),
         )
+        if _timing:
+            jax.block_until_ready(latent)
+            print(f"[sphere] step {i}/{steps_eff} phase={phase} "
+                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
 
     # ---- decode -------------------------------------------------------------
     out_latent, out_denoised = latent, denoised

@@ -45,7 +45,7 @@ def _reference_subblock(x, s, b, wq, wk, wv, wo, bo, heads, scale):
     return o @ wo + bo + x
 
 
-@pytest.mark.parametrize("R,F,C,heads", [(24, 16, 64, 2), (8, 8, 32, 4)])
+@pytest.mark.parametrize("R,F,C,heads", [(24, 16, 64, 2), (8, 8, 32, 4), (4, 16, 256, 4)])
 def test_kernel_matches_reference(rng, R, F, C, heads):
     fused_temporal.set_mode("interpret")
     x = jnp.asarray(rng.standard_normal((R, F, C)).astype(np.float32)) * 0.5

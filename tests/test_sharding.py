@@ -100,7 +100,7 @@ def test_seq_scatter_stays_distributed(model):
         jnp.asarray(origins), jnp.zeros((N, *sizes, 1)),
         jnp.zeros((N, 77, D)), jnp.zeros((1, 77, D)),
         jnp.int32(500), jnp.int32(3), jnp.asarray(0.5), jnp.asarray(0.5),
-        jax.random.PRNGKey(0), use_renoise=True, use_merge_prev=True,
+        jax.random.PRNGKey(0),
     ).compile()
 
     latent_dims = [1, F, H, W, C]
