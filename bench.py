@@ -35,7 +35,7 @@ TIMED_ITERS = 5
 
 # full default 360° clip stages, measured warm on one v5e chip (BENCH_NOTES.md
 # has history); update when re-measured.
-E2E_STAGES_SEC = {"sphere_15x44": 287.0, "planar_1x_33x4": 84.0, "upscale_2x_33x16": 251.0}
+E2E_STAGES_SEC = {"sphere_15x44": 311.1, "planar_1x_33x4": 72.5, "upscale_2x_33x16": 221.1}
 
 
 def main():

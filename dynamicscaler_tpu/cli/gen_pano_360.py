@@ -156,7 +156,7 @@ def main(vargs: VArgs):
     from dynamicscaler_tpu.ops.resize import resize_video_latent
     from dynamicscaler_tpu.pipelines import i2v, sphere
     from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
-    from dynamicscaler_tpu.utils.io import load_image, save_latent, save_video
+    from dynamicscaler_tpu.utils.io import load_image, save_latent, save_video, to_uint8_device
 
     t_start = time.time()
     if vargs.dev_tiny:
@@ -327,7 +327,8 @@ def main(vargs: VArgs):
             if vargs.save_latents:
                 save_latent(basic_latent, os.path.join(out_dir, "basic_SW_latent.npy"))
             save_video(
-                np.asarray(video_1x[0]), out_dir, "shift_windows", fps=vargs.fps
+                np.asarray(to_uint8_device(video_1x[0])), out_dir,
+                "shift_windows", fps=vargs.fps,
             )
         print(f"[stage2] done at {time.time() - t_start:.1f}s")
 
@@ -368,7 +369,9 @@ def main(vargs: VArgs):
         )
         if vargs.save_latents:
             save_latent(latent_2x, os.path.join(out_dir, "denoised_latent2x.npy"))
-        save_video(np.asarray(video_2x[0]), out_dir, "SW_2X", fps=vargs.fps)
+        save_video(
+            np.asarray(to_uint8_device(video_2x[0])), out_dir, "SW_2X", fps=vargs.fps
+        )
         print(f"[stage3] done at {time.time() - t_start:.1f}s")
 
     print(f"[gen_pano_360] total {time.time() - t_start:.1f}s -> {out_dir}")

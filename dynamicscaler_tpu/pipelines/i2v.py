@@ -332,6 +332,16 @@ def sample_shift_multi_windows(
     )
 
     # ---- conditioning (all CLIP forwards precomputed, per phase) ----------
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        if _timing:
+            print(f"[i2v-setup] {name}: {_time.perf_counter() - _t0:.2f}s cum", flush=True)
+
     text_cache: dict = {}
     phase_ctx = _phase_contexts(
         model, grid, pano_image, prompt, window_multi_prompt_dict,
@@ -340,6 +350,9 @@ def sample_shift_multi_windows(
     uncond = build_uncond_context(
         model, with_image=model.image_encoder is not None, image_hw=(wh, ww)
     )
+    if _timing:
+        jax.block_until_ready(list(phase_ctx))
+    _mark("phase conditioning (CLIP)")
 
     # ---- init latent -------------------------------------------------------
     k_init, k_run, k_noise = jax.random.split(key, 3)
@@ -405,12 +418,17 @@ def sample_shift_multi_windows(
             )
         )
 
+    if _timing:
+        jax.block_until_ready(latent)
+    _mark("init latent + plan")
+
     engine = PlanarShiftWindowEngine(
         model, sched, (frames, wh, ww),
         guidance_scale=guidance_scale, fps=fps, overlap_mode=overlap_mode,
         mesh=mesh, unet_microbatch=unet_microbatch,
     )
     latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
+    _mark("denoise loop")
 
     # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
     w_tiles = max(1, tw // 256)
@@ -419,4 +437,7 @@ def sample_shift_multi_windows(
         if decode
         else None
     )
+    if _timing and video is not None:
+        jax.block_until_ready(video)
+    _mark("ring decode")
     return video, denoised

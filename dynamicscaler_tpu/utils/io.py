@@ -26,16 +26,34 @@ def load_image(path: str, height: int, width: int, norm_to_1: bool = True) -> np
 
 
 def to_uint8_frames(video: np.ndarray) -> np.ndarray:
-    """[F, H, W, 3] float in [-1, 1] -> uint8."""
+    """[F, H, W, 3] float in [-1, 1] -> uint8 (no-op if already uint8)."""
+    if video.dtype == np.uint8:
+        return video
     v = np.clip(video, -1.0, 1.0)
     v = ((v + 1.0) / 2.0 * 255.0).astype(np.uint8)
     return v
 
 
+def to_uint8_device(video):
+    """Device-side [-1,1] -> uint8 conversion. Readback of a decoded
+    panorama video through the remote-TPU tunnel moves 4x fewer bytes as
+    uint8 (a 16-frame 2048x1024 clip is 400 MB as fp32)."""
+    import jax.numpy as jnp
+
+    v = jnp.clip(video, -1.0, 1.0)
+    return ((v + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
+
+
 def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int = 16,
-               save_mp4: bool = True, save_gif: bool = False) -> Optional[str]:
+               save_mp4: bool = True, save_gif: bool = False,
+               gif_max_width: int = 1024) -> Optional[str]:
     """[F, H, W, 3] in [-1, 1] -> mp4 (and/or gif) via imageio
-    (utils/loop_merge_utils.py:22-36)."""
+    (utils/loop_merge_utils.py:22-36).
+
+    Without an ffmpeg backend the fallback writes full-res PNG frames
+    (parallel, low compression — PIL releases the GIL) plus a preview gif
+    downscaled to ``gif_max_width`` (gif palette quantization at 2048-wide
+    panorama frames cost ~90s of host time per save otherwise)."""
     os.makedirs(output_path, exist_ok=True)
     frames = list(to_uint8_frames(video))
     saved = None
@@ -51,11 +69,27 @@ def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int =
             save_gif = True
             frames_dir = os.path.join(output_path, f"{output_name}_frames")
             os.makedirs(frames_dir, exist_ok=True)
-            for i, fr in enumerate(frames):
-                Image.fromarray(fr).save(os.path.join(frames_dir, f"{i:04d}.png"))
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write(iframe):
+                i, fr = iframe
+                Image.fromarray(fr).save(
+                    os.path.join(frames_dir, f"{i:04d}.png"), compress_level=1
+                )
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(_write, enumerate(frames)))
     if save_gif:
+        gif_frames = frames
+        if frames and frames[0].shape[1] > gif_max_width:
+            scale = gif_max_width / frames[0].shape[1]
+            gh = int(frames[0].shape[0] * scale)
+            gif_frames = [
+                np.asarray(Image.fromarray(fr).resize((gif_max_width, gh), Image.BILINEAR))
+                for fr in frames
+            ]
         gif = os.path.join(output_path, f"{output_name}.gif")
-        imageio.mimsave(gif, frames, duration=1000.0 / fps, loop=0)
+        imageio.mimsave(gif, gif_frames, duration=1000.0 / fps, loop=0)
         saved = saved or gif
     return saved
 
