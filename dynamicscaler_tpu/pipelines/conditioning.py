@@ -39,10 +39,20 @@ def encode_texts_cached(model, texts: Sequence[str], cache: dict):
 
 
 def build_uncond_context(model, batch: int = 1, with_image: bool = None,
-                         image_hw=None) -> jnp.ndarray:
-    """CFG uncond context: empty-prompt text emb, plus (i2v) the embedding of
-    a zero image (i2v_sphere_panorama_pipeline.py:111-137 — note the
-    reference feeds a zero image at *latent* resolution h//8 x w//8)."""
+                         image_hw=None, uncond_type: str = "empty_seq",
+                         cond_like: jnp.ndarray = None) -> jnp.ndarray:
+    """CFG uncond context (scripts/evaluation/funcs.py:19-35):
+
+    * ``empty_seq`` (both shipped configs, ddpm3d.py:338): empty-prompt
+      text emb, plus (i2v) the embedding of a zero image
+      (i2v_sphere_panorama_pipeline.py:111-137 — the reference feeds the
+      zero image at *latent* resolution h//8 x w//8);
+    * ``zero_embed``: zeros shaped like the cond context (``cond_like``).
+    """
+    if uncond_type == "zero_embed":
+        assert cond_like is not None, "zero_embed needs the cond context shape"
+        return jnp.zeros((batch,) + cond_like.shape[1:], cond_like.dtype)
+    assert uncond_type == "empty_seq", uncond_type
     uc_text = model.encode_text([""] * batch)
     if with_image is None:
         with_image = model.image_encoder is not None

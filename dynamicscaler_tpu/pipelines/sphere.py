@@ -504,10 +504,6 @@ def sample_shift_sphere_panorama(
     )
 
     denoised = jnp.zeros_like(latent)
-    import os as _os
-    import time as _time
-
-    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
     for i in range(steps_eff):
         _t0 = _time.perf_counter()
         # with skip the table index keeps counting from the truncated top

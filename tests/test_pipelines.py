@@ -265,3 +265,19 @@ def test_scatter_sentinel_drops_invalid_pixels():
     np.testing.assert_array_equal(out, expect)
     # the last pano pixel (the -1 wrap target) stays untouched
     assert out[-1] == 0.0
+
+
+def test_uncond_zero_embed(t2v_model):
+    """uncond_type='zero_embed' (scripts/evaluation/funcs.py:24-27) returns
+    context-shaped zeros; 'empty_seq' stays the default."""
+    from dynamicscaler_tpu.pipelines.conditioning import build_uncond_context
+
+    ctx = t2v_model.encode_text(["a swan"])
+    uc = build_uncond_context(
+        t2v_model, uncond_type="zero_embed", cond_like=ctx
+    )
+    assert uc.shape == ctx.shape
+    assert float(jnp.abs(uc).max()) == 0.0
+    uc2 = build_uncond_context(t2v_model, with_image=False)
+    assert uc2.shape == ctx.shape
+    assert float(jnp.abs(uc2).max()) > 0.0
