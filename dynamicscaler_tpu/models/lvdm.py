@@ -135,6 +135,32 @@ class LatentVideoDiffusion:
 
     # -- pure apply methods --------------------------------------------------
 
+    def apply_unet_microbatched(self, x, t_scalar, context, fps=16, params=None,
+                                microbatch: int = 0):
+        """CFG-packed window batch through the UNet in ``microbatch`` chunks
+        via ``lax.map`` (UNet batch 8 saturates the chip; batch 16 fails
+        remote compile — BENCH_NOTES.md). ``microbatch`` 0 or >= batch runs
+        one call. ``t_scalar`` is a traced scalar timestep."""
+        n = x.shape[0]
+        if not microbatch or n <= microbatch:
+            return self.apply_unet(
+                x, jnp.full((n,), t_scalar), context, fps, params=params
+            )
+        mb = microbatch
+        pad = (-n) % mb
+        if pad:
+            x = jnp.concatenate([x, x[:pad]], 0)
+            context = jnp.concatenate([context, context[:pad]], 0)
+        xs = x.reshape(-1, mb, *x.shape[1:])
+        cs = context.reshape(-1, mb, *context.shape[1:])
+        eps = jax.lax.map(
+            lambda ab: self.apply_unet(
+                ab[0], jnp.full((mb,), t_scalar), ab[1], fps, params=params
+            ),
+            (xs, cs),
+        )
+        return eps.reshape(-1, *eps.shape[2:])[:n]
+
     def apply_unet(self, x, t, context, fps=16, params=None, no_temporal_attn=False):
         """eps prediction. x: [B, F, H, W, C]; context: [B, L, D].
         ``no_temporal_attn`` skips temporal transformers (the legacy

@@ -47,15 +47,27 @@ def build_uncond_context(model, batch: int = 1, with_image: bool = None,
       text emb, plus (i2v) the embedding of a zero image
       (i2v_sphere_panorama_pipeline.py:111-137 — the reference feeds the
       zero image at *latent* resolution h//8 x w//8);
-    * ``zero_embed``: zeros shaped like the cond context (``cond_like``).
+    * ``zero_embed``: zeros shaped like the TEXT part of the cond context
+      (``cond_like``); for image-conditioned models the reference still
+      appends the real CLIP embedding of a zero image (funcs.py:29-34).
+      (The reference zeroes the FULL imtext context and then appends the
+      zero-image tokens on top — giving uncond 16 more tokens than cond,
+      which only works because its legacy sampler runs cond/uncond as
+      separate forwards. We zero the text part only, so the CFG pair
+      stays batchable; both shipped configs use empty_seq anyway.)
     """
-    if uncond_type == "zero_embed":
-        assert cond_like is not None, "zero_embed needs the cond context shape"
-        return jnp.zeros((batch,) + cond_like.shape[1:], cond_like.dtype)
-    assert uncond_type == "empty_seq", uncond_type
-    uc_text = model.encode_text([""] * batch)
     if with_image is None:
         with_image = model.image_encoder is not None
+    if uncond_type == "zero_embed":
+        assert cond_like is not None, "zero_embed needs the cond context shape"
+        text_len = getattr(model.config.unet, "text_context_len", 77)
+        uc_text = jnp.zeros(
+            (batch, min(text_len, cond_like.shape[1])) + cond_like.shape[2:],
+            cond_like.dtype,
+        )
+    else:
+        assert uncond_type == "empty_seq", uncond_type
+        uc_text = model.encode_text([""] * batch)
     if not with_image:
         return uc_text
     h, w = image_hw if image_hw is not None else (40, 64)

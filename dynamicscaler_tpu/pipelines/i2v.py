@@ -332,16 +332,9 @@ def sample_shift_multi_windows(
     )
 
     # ---- conditioning (all CLIP forwards precomputed, per phase) ----------
-    import os as _os
-    import time as _time
+    from dynamicscaler_tpu.utils.timing import Marker
 
-    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
-    _t0 = _time.perf_counter()
-
-    def _mark(name):
-        if _timing:
-            print(f"[i2v-setup] {name}: {_time.perf_counter() - _t0:.2f}s cum", flush=True)
-
+    _tm = Marker("i2v")
     text_cache: dict = {}
     phase_ctx = _phase_contexts(
         model, grid, pano_image, prompt, window_multi_prompt_dict,
@@ -350,9 +343,7 @@ def sample_shift_multi_windows(
     uncond = build_uncond_context(
         model, with_image=model.image_encoder is not None, image_hw=(wh, ww)
     )
-    if _timing:
-        jax.block_until_ready(list(phase_ctx))
-    _mark("phase conditioning (CLIP)")
+    _tm.mark("phase conditioning (CLIP)", block=list(phase_ctx) if _tm.on else None)
 
     # ---- init latent -------------------------------------------------------
     k_init, k_run, k_noise = jax.random.split(key, 3)
@@ -418,9 +409,7 @@ def sample_shift_multi_windows(
             )
         )
 
-    if _timing:
-        jax.block_until_ready(latent)
-    _mark("init latent + plan")
+    _tm.mark("init latent + plan", block=latent if _tm.on else None)
 
     engine = PlanarShiftWindowEngine(
         model, sched, (frames, wh, ww),
@@ -428,7 +417,7 @@ def sample_shift_multi_windows(
         mesh=mesh, unet_microbatch=unet_microbatch,
     )
     latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
-    _mark("denoise loop")
+    _tm.mark("denoise loop")
 
     # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
     w_tiles = max(1, tw // 256)
@@ -437,7 +426,5 @@ def sample_shift_multi_windows(
         if decode
         else None
     )
-    if _timing and video is not None:
-        jax.block_until_ready(video)
-    _mark("ring decode")
+    _tm.mark("ring decode", block=video if (_tm.on and video is not None) else None)
     return video, denoised

@@ -144,12 +144,10 @@ class PlanarShiftWindowEngine:
         # caller's init latent stays valid
         latent = jnp.array(latent, copy=True)
         denoised = jnp.zeros_like(latent)
-        import os as _os
-        import time as _time
+        from dynamicscaler_tpu.utils.timing import Marker
 
-        _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
+        _tm = Marker("planar")
         for i, sp in enumerate(plan):
-            _t0 = _time.perf_counter()
             step_key = jax.random.fold_in(key, i)
             if pre_step is not None:
                 latent = pre_step(latent, i, jax.random.fold_in(step_key, 7))
@@ -168,10 +166,8 @@ class PlanarShiftWindowEngine:
                 jnp.asarray(0.0 if sp.merge_prev_ratio is None else sp.merge_prev_ratio),
                 step_key,
             )
-            if _timing:
-                jax.block_until_ready(latent)
-                print(f"[planar] step {i}/{len(plan)} N={len(sp.origins)} "
-                      f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+            _tm.lap(f"step {i}/{len(plan)} N={len(sp.origins)}",
+                    block=latent if _tm.on else None)
         return latent, denoised
 
 
@@ -209,23 +205,9 @@ def _window_step(
     frame_idx = jnp.full((fs,), index, jnp.int32)
 
     def unet_eps(x, cc):
-        n = x.shape[0]
-        if unet_microbatch and n > unet_microbatch:
-            mb = unet_microbatch
-            pad = (-n) % mb
-            if pad:
-                x = jnp.concatenate([x, x[:pad]], 0)
-                cc = jnp.concatenate([cc, cc[:pad]], 0)
-            xs = x.reshape(-1, mb, *x.shape[1:])
-            cs = cc.reshape(-1, mb, *cc.shape[1:])
-            eps = jax.lax.map(
-                lambda ab: model.apply_unet(
-                    ab[0], jnp.full((mb,), t), ab[1], fps, params=params
-                ),
-                (xs, cs),
-            )
-            return eps.reshape(-1, *eps.shape[2:])[:n]
-        return model.apply_unet(x, jnp.full((n,), t), cc, fps, params=params)
+        return model.apply_unet_microbatched(
+            x, t, cc, fps, params=params, microbatch=unet_microbatch
+        )
 
     def denoise_batch(wins, ctx):
         """wins [n, f, h, w, C] -> (x_prev, pred_x0); one CFG-packed UNet call,

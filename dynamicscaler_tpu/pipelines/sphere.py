@@ -216,10 +216,6 @@ def _sphere_step(
 
     frame_idx = jnp.full((frames,), index, jnp.int32)
 
-    def unet_eps(x, ctx):
-        n = x.shape[0]
-        return model.apply_unet(x, jnp.full((n,), t), ctx, fps, params=params)
-
     from dynamicscaler_tpu.parallel.mesh import constrain_window_batch
 
     if guidance != 1.0:
@@ -230,19 +226,9 @@ def _sphere_step(
         x_all, ctx_all = wins, context
     x_all = constrain_window_batch(x_all, mesh)  # view batch over mesh 'data'
 
-    if unet_microbatch and x_all.shape[0] > unet_microbatch:
-        n_total = x_all.shape[0]
-        mb = unet_microbatch
-        pad = (-n_total) % mb
-        if pad:
-            x_all = jnp.concatenate([x_all, x_all[:pad]], 0)
-            ctx_all = jnp.concatenate([ctx_all, ctx_all[:pad]], 0)
-        xs = x_all.reshape(-1, mb, *x_all.shape[1:])
-        cs = ctx_all.reshape(-1, mb, *ctx_all.shape[1:])
-        eps = jax.lax.map(lambda ab: unet_eps(ab[0], ab[1]), (xs, cs))
-        eps = eps.reshape(-1, *eps.shape[2:])[:n_total]
-    else:
-        eps = unet_eps(x_all, ctx_all)
+    eps = model.apply_unet_microbatched(
+        x_all, t, ctx_all, fps, params=params, microbatch=unet_microbatch
+    )
 
     if guidance != 1.0:
         eps = eps[Nw:] + guidance * (eps[:Nw] - eps[Nw:])
@@ -402,17 +388,10 @@ def sample_shift_sphere_panorama(
             eq_lat_h, eq_lat_w, phi_fov_dict,
         )
 
-    import os as _os
-    import time as _time
+    from dynamicscaler_tpu.utils.timing import Marker
 
-    _timing = bool(_os.environ.get("DSCALER_STEP_TIMING"))
-    _t0 = _time.perf_counter()
-
-    def _mark(name):
-        if _timing:
-            print(f"[sphere-setup] {name}: {_time.perf_counter() - _t0:.2f}s cum", flush=True)
-
-    _mark("maps")
+    _tm = Marker("sphere")
+    _tm.mark("maps")
     text_cache: dict = {}
     phase_ctx: Dict[int, jnp.ndarray] = {}
     for phase, views in phase_views.items():
@@ -438,9 +417,7 @@ def sample_shift_sphere_panorama(
         else:
             phase_ctx[phase] = text_embs
 
-    if _timing:
-        jax.block_until_ready(list(phase_ctx.values()))
-    _mark("phase conditioning (CLIP)")
+    _tm.mark("phase conditioning (CLIP)", block=list(phase_ctx.values()) if _tm.on else None)
     uncond = build_uncond_context(
         model, with_image=use_image_cond, image_hw=(lat_h, lat_w)
     )
@@ -474,9 +451,7 @@ def sample_shift_sphere_panorama(
     else:
         latent = jnp.asarray(init_sphere_latent)
 
-    if _timing:
-        jax.block_until_ready((static_clean, latent))
-    _mark("static encode + init latent")
+    _tm.mark("static encode + init latent", block=(static_clean, latent) if _tm.on else None)
 
     # ---- step loop ----------------------------------------------------------
     steps_eff = S
@@ -504,8 +479,8 @@ def sample_shift_sphere_panorama(
     )
 
     denoised = jnp.zeros_like(latent)
+    _tm.reset_lap()
     for i in range(steps_eff):
-        _t0 = _time.perf_counter()
         # with skip the table index keeps counting from the truncated top
         index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
         phase = i % loop_step_theta
@@ -539,8 +514,7 @@ def sample_shift_sphere_panorama(
             jnp.asarray(int(sched.ddim_timesteps[index]), jnp.int32),
             jnp.asarray(index, jnp.int32),
             jnp.asarray(
-                0.0 if merge_renoised_overlap_latent_ratio is None
-                else float(merge_renoised_overlap_latent_ratio)
+                float(merge_renoised_overlap_latent_ratio) if use_ren else 0.0
             ),
             jnp.asarray(
                 0.0 if not use_mp else float(merge_prev_denoised_ratio_list[i])
@@ -548,10 +522,7 @@ def sample_shift_sphere_panorama(
             jnp.asarray(bool(paste_on_static and not last)),
             jax.random.fold_in(k_run, i),
         )
-        if _timing:
-            jax.block_until_ready(latent)
-            print(f"[sphere] step {i}/{steps_eff} phase={phase} "
-                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+        _tm.lap(f"step {i}/{steps_eff} phase={phase}", block=latent if _tm.on else None)
 
     # ---- decode -------------------------------------------------------------
     out_latent, out_denoised = latent, denoised

@@ -370,6 +370,17 @@ class EmaFallbackDict(dict):
     def __contains__(self, key):
         return super().__contains__(key) or self._sname(key) in self._shadow
 
+    def get(self, key, default=None):
+        # keep .get() consistent with the shadow-resolving __getitem__
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    # NOTE: iteration/len/items cover only the primary dict — stripped
+    # shadow names can't be un-stripped without a template. The converters
+    # access by explicit key (sd[k] / k in sd / sd.get), which all resolve.
+
 
 def extract_ema_shadow(raw: Dict[str, Any]) -> Dict[str, Any]:
     """``model_ema.*`` shadow buffers (minus LitEma's decay/num_updates)."""
@@ -442,13 +453,16 @@ def load_videocrafter_checkpoint(
     if param_dtype != "float32":
         import jax
         import jax.numpy as jnp
+        import numpy as np
 
         dt = config.jnp_dtype if param_dtype == "compute" else jnp.dtype(param_dtype)
         if dt != jnp.float32:
+            # leaves are host numpy here — cast on host (checking dtype via
+            # jnp would round-trip 5.8 GB of fp32 through the device first)
             params = jax.tree.map(
-                lambda a: jnp.asarray(a, dt)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                else jnp.asarray(a),
+                lambda a: jnp.asarray(
+                    a.astype(dt) if np.issubdtype(np.asarray(a).dtype, np.floating) else a
+                ),
                 params,
             )
     return params
