@@ -20,6 +20,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -33,9 +34,23 @@ MICROBATCH = 8
 FRAMES, LAT_H, LAT_W = 16, 40, 64
 TIMED_ITERS = 5
 
-# full default 360° clip stages, measured warm on one v5e chip (BENCH_NOTES.md
-# has history); update when re-measured.
-E2E_STAGES_SEC = {"sphere_15x44": 311.1, "planar_1x_33x4": 72.5, "upscale_2x_33x16": 221.1}
+
+def load_e2e_measurement():
+    """Read the most recent full-geometry e2e measurement written by
+    `cli/gen_pano_360.py` (results/e2e_latest.json). Returns a dict with
+    provenance (commit, date, age) or None if never measured. The figure
+    is never hardcoded here (VERDICT r2 #3)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "e2e_latest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        rec = json.load(f)
+    age_days = (time.time() - rec.get("measured_at_unix", 0)) / 86400
+    rec["age_days"] = round(age_days, 2)
+    rec["stale"] = age_days > 7
+    rec.pop("measured_at_unix", None)
+    return rec
 
 
 def main():
@@ -139,10 +154,8 @@ def main():
                     "flops_per_tile": flops_per_tile,
                     "mfu": round(mfu, 4) if mfu is not None else None,
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
-                    "e2e_stages_sec_single_chip_measured": E2E_STAGES_SEC,
-                    "e2e_sec_per_clip_single_chip_measured": round(
-                        sum(E2E_STAGES_SEC.values()), 1
-                    ),
+                    "e2e_single_chip": load_e2e_measurement()
+                    or "not measured — run cli.gen_pano_360 at default geometry",
                 },
             }
         )

@@ -94,11 +94,22 @@ class Image2Video:
         return path
 
 
+_I2V_FORM = """<h3>Image → video (scripts/gradio/i2v_test.py)</h3>
+<form method="post" action="/generate_i2v" enctype="multipart/form-data">
+<label>Image <input name="image" type="file" accept="image/*" required></label>
+<label>Prompt <input name="prompt" size="60" value="a black swan swims on the pond"></label>
+<label>Steps <input name="steps" type="number" value="{steps}" min="1" max="60"></label>
+<label>CFG scale <input name="cfg" type="number" step="0.5" value="12.0"></label>
+<label>Seed <input name="seed" type="number" value="123"></label>
+<button type="submit">Generate from image</button>
+</form>"""
+
 _PAGE = """<!doctype html><html><head><title>dynamicscaler_tpu demo</title>
 <style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
 input,select{{margin:0.2em 0}}label{{display:block;margin-top:0.6em}}</style>
 </head><body>
 <h2>DynamicScaler TPU — generation demo</h2>
+<h3>Text → video</h3>
 <form method="post" action="/generate">
 <label>Prompt <input name="prompt" size="60" value="a black swan swims on the pond"></label>
 <label>Steps <input name="steps" type="number" value="{steps}" min="1" max="60"></label>
@@ -106,11 +117,38 @@ input,select{{margin:0.2em 0}}label{{display:block;margin-top:0.6em}}</style>
 <label>Seed <input name="seed" type="number" value="123"></label>
 <button type="submit">Generate</button>
 </form>
+{i2v_form}
 {result}
 </body></html>"""
 
 
-def _build_handler(t2v_demo: Text2Video, defaults):
+def _parse_multipart(headers, body: bytes):
+    """Minimal multipart/form-data parser (stdlib email; cgi is removed in
+    new Pythons). Returns {field: bytes-or-str}."""
+    from email.parser import BytesParser
+    from email.policy import default as default_policy
+
+    msg = BytesParser(policy=default_policy).parsebytes(
+        b"Content-Type: " + headers.get("Content-Type", "").encode() + b"\r\n\r\n" + body
+    )
+    fields = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True)
+        if part.get_filename():
+            fields[name] = payload  # file field stays bytes
+        else:
+            fields[name] = payload.decode(errors="replace")
+    return fields
+
+
+def _build_handler(t2v_demo, defaults, i2v_demo=None):
+    # the single chip can't run two sampling programs concurrently without
+    # HBM contention — serialize generation, reply 503 when busy (ADVICE r2)
+    gen_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, body: str, code=200):
             data = body.encode()
@@ -123,20 +161,14 @@ def _build_handler(t2v_demo: Text2Video, defaults):
         def log_message(self, *a):  # quiet
             pass
 
-        def do_GET(self):
-            self._send(_PAGE.format(result="", **defaults))
+        def _page(self, result=""):
+            i2v_form = _I2V_FORM.format(**defaults) if i2v_demo is not None else ""
+            return _PAGE.format(result=result, i2v_form=i2v_form, **defaults)
 
-        def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            form = urllib.parse.parse_qs(self.rfile.read(length).decode())
-            prompt = form.get("prompt", ["a black swan"])[0]
-            steps = int(form.get("steps", [defaults["steps"]])[0])
-            cfg = float(form.get("cfg", [12.0])[0])
-            seed = int(form.get("seed", [123])[0])
-            path = t2v_demo.get_prompt(
-                prompt, steps=steps, cfg_scale=cfg, seed=seed,
-                height=defaults["height"], width=defaults["width"],
-            )
+        def do_GET(self):
+            self._send(self._page())
+
+        def _result_html(self, prompt, path):
             # inline the animation (gif fallback path is always embeddable)
             gif = path if path.endswith(".gif") else os.path.splitext(path)[0] + ".gif"
             show = gif if os.path.exists(gif) else path
@@ -148,23 +180,74 @@ def _build_handler(t2v_demo: Text2Video, defaults):
                 if mime == "image/gif"
                 else f'<video controls autoplay loop src="data:{mime};base64,{b64}"></video>'
             )
-            result = f"<h3>{html.escape(prompt)}</h3>{tag}<p>{html.escape(show)}</p>"
-            self._send(_PAGE.format(result=result, **defaults))
+            return f"<h3>{html.escape(prompt)}</h3>{tag}<p>{html.escape(show)}</p>"
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if not gen_lock.acquire(blocking=False):
+                self._send(self._page("<p>Busy: a generation is already "
+                                      "running; retry when it finishes.</p>"), 503)
+                return
+            try:
+                if self.path == "/generate_i2v" and i2v_demo is not None:
+                    fields = _parse_multipart(self.headers, body)
+                    prompt = str(fields.get("prompt", "a black swan"))
+                    img_bytes = fields.get("image")
+                    if not img_bytes:
+                        self._send(self._page("<p>No image uploaded.</p>"), 400)
+                        return
+                    from PIL import Image
+
+                    img = np.asarray(
+                        Image.open(io.BytesIO(img_bytes)).convert("RGB")
+                    )
+                    path = i2v_demo.get_image(
+                        img, prompt,
+                        steps=int(fields.get("steps", defaults["steps"])),
+                        cfg_scale=float(fields.get("cfg", 12.0)),
+                        seed=int(fields.get("seed", 123)),
+                        height=defaults["height"], width=defaults["width"],
+                    )
+                else:
+                    form = urllib.parse.parse_qs(body.decode())
+                    prompt = form.get("prompt", ["a black swan"])[0]
+                    path = t2v_demo.get_prompt(
+                        prompt,
+                        steps=int(form.get("steps", [defaults["steps"]])[0]),
+                        cfg_scale=float(form.get("cfg", [12.0])[0]),
+                        seed=int(form.get("seed", [123])[0]),
+                        height=defaults["height"], width=defaults["width"],
+                    )
+            finally:
+                gen_lock.release()
+            self._send(self._page(self._result_html(prompt, path)))
 
     return Handler
 
 
 def make_server(model, port=0, result_dir="./tmp/demo", defaults=None):
-    """ThreadingHTTPServer serving the demo; port 0 picks a free port."""
+    """ThreadingHTTPServer serving the demo; port 0 picks a free port.
+    Image-conditioned models additionally get the i2v upload form."""
     defaults = defaults or {"steps": 48, "height": 320, "width": 512}
     demo = Text2Video(model, result_dir=result_dir)
-    server = ThreadingHTTPServer(("127.0.0.1", port), _build_handler(demo, defaults))
+    i2v_demo = (
+        Image2Video(model, result_dir=result_dir)
+        if getattr(model, "image_encoder", None) is not None
+        else None
+    )
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), _build_handler(demo, defaults, i2v_demo=i2v_demo)
+    )
     return server
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--mode", choices=["t2v", "i2v"], default="t2v",
+                   help="which checkpoint family to serve (i2v adds the "
+                   "image-upload form, reference scripts/gradio/i2v_test.py)")
     p.add_argument("--ckpt_path", type=str, default="")
     p.add_argument("--bpe_path", type=str, default="")
     p.add_argument("--result_dir", type=str, default="./tmp/demo")
@@ -184,17 +267,21 @@ def main(args):
         from dynamicscaler_tpu.utils.tokenizer import HashTokenizer
 
         model = LatentVideoDiffusion.init_random(
-            tiny_test_config(img_attention=False), jax.random.PRNGKey(0),
-            tokenizer=HashTokenizer(512),
+            tiny_test_config(img_attention=args.mode == "i2v"),
+            jax.random.PRNGKey(0), tokenizer=HashTokenizer(512),
         )
         defaults = {"steps": 4, "height": 32, "width": 32}
     else:
-        from dynamicscaler_tpu.config import videocrafter2_t2v
+        from dynamicscaler_tpu.config import videocrafter2_t2v, videocrafter_i2v
         from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion
         from dynamicscaler_tpu.utils.tokenizer import load_tokenizer
         from dynamicscaler_tpu.utils.weights import load_videocrafter_checkpoint
 
-        config = videocrafter2_t2v(dtype=args.dtype)
+        config = (
+            videocrafter_i2v(dtype=args.dtype)
+            if args.mode == "i2v"
+            else videocrafter2_t2v(dtype=args.dtype)
+        )
         params = load_videocrafter_checkpoint(args.ckpt_path, config)
         model = LatentVideoDiffusion(
             config=config, params=params, tokenizer=load_tokenizer(args.bpe_path or None)

@@ -159,6 +159,7 @@ def main(vargs: VArgs):
     from dynamicscaler_tpu.utils.io import load_image, save_latent, save_video, to_uint8_device
 
     t_start = time.time()
+    stage_secs = {}  # wall-clock per stage -> results/e2e_latest.json
     if vargs.dev_tiny:
         # shrink all geometry to the tiny model (smoke/orchestration test)
         vargs = dataclasses.replace(
@@ -250,6 +251,7 @@ def main(vargs: VArgs):
     )
 
     # ---- STAGE 1: sphere panorama (gen_pano_360.py:227-272) ---------------
+    t_stage = time.time()
     if vargs.predenoised_SP_latent_path:
         print(f"[stage1] loading sphere latent from {vargs.predenoised_SP_latent_path}")
         sphere_latent = jnp.asarray(np.load(vargs.predenoised_SP_latent_path))
@@ -289,12 +291,15 @@ def main(vargs: VArgs):
             print(f"[stage1] profiler trace -> {vargs.profile_dir}")
         if vargs.save_latents:
             save_latent(sphere_latent, os.path.join(out_dir, "sphere_SW_latent.npy"))
+    if not vargs.predenoised_SP_latent_path:
+        stage_secs["sphere"] = time.time() - t_stage
     print(f"[stage1] done at {time.time() - t_start:.1f}s; latent {sphere_latent.shape}")
 
     pano_1x = load_image(vargs.pano_image_path, eq_h, eq_w)
 
     # ---- STAGE 2: planar 1x (gen_pano_360.py:287-329) ----------------------
     basic_latent = None
+    t_stage = time.time()
     if not vargs.skip_1x:
         if vargs.predenoised_SW_1x_latent_path:
             print(f"[stage2] loading 1x latent from {vargs.predenoised_SW_1x_latent_path}")
@@ -330,9 +335,12 @@ def main(vargs: VArgs):
                 np.asarray(to_uint8_device(video_1x[0])), out_dir,
                 "shift_windows", fps=vargs.fps,
             )
+        if not vargs.predenoised_SW_1x_latent_path:
+            stage_secs["planar_1x"] = time.time() - t_stage
         print(f"[stage2] done at {time.time() - t_start:.1f}s")
 
     # ---- STAGE 3: 2x upscale (gen_pano_360.py:345-392) ---------------------
+    t_stage = time.time()
     if vargs.do_upscale:
         uf = vargs.upscale_factor
         if vargs.skip_1x:
@@ -372,10 +380,58 @@ def main(vargs: VArgs):
         save_video(
             np.asarray(to_uint8_device(video_2x[0])), out_dir, "SW_2X", fps=vargs.fps
         )
+        stage_secs["upscale"] = time.time() - t_stage
         print(f"[stage3] done at {time.time() - t_start:.1f}s")
 
-    print(f"[gen_pano_360] total {time.time() - t_start:.1f}s -> {out_dir}")
+    total = time.time() - t_start
+    _write_e2e_artifact(vargs, stage_secs, total)
+    print(f"[gen_pano_360] total {total:.1f}s -> {out_dir}")
     return out_dir
+
+
+def _write_e2e_artifact(vargs: VArgs, stage_secs: dict, total: float) -> None:
+    """Record measured stage wall-clocks to results/e2e_latest.json so
+    bench.py reports a *measured* e2e figure with provenance, never a
+    constant (VERDICT r2 #3). Only full default geometry qualifies."""
+    full_geometry = (
+        not vargs.dev_tiny
+        and vargs.equirect_width == 1024
+        and vargs.num_inference_steps == 48
+        and not (
+            vargs.predenoised_SP_latent_path
+            or vargs.predenoised_SW_1x_latent_path
+            or vargs.skip_1x
+        )
+        and vargs.do_upscale
+    )
+    if not full_geometry:
+        return
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    res_dir = os.path.join(repo_root, "results")
+    os.makedirs(res_dir, exist_ok=True)
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", repo_root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    with open(os.path.join(res_dir, "e2e_latest.json"), "w") as f:
+        json.dump(
+            {
+                "stages_sec": {k: round(v, 1) for k, v in stage_secs.items()},
+                "total_sec": round(total, 1),
+                "geometry": f"{vargs.equirect_width}x{vargs.equirect_height}"
+                f"x{vargs.total_f}f_steps{vargs.num_inference_steps}",
+                "measured_at_unix": time.time(),
+                "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "commit": commit,
+            },
+            f,
+            indent=2,
+        )
 
 
 if __name__ == "__main__":

@@ -82,6 +82,9 @@ class CrossAttention(nn.Module):
         scale = d**-0.5
         B, N, Cq = x.shape
         dt = self.dtype
+        # one compute dtype for both the fused kernel (computes in x.dtype)
+        # and the unfused fallback (computes in self.dtype) — ADVICE r2
+        x = x.astype(dt)
 
         use_img = self.img_cross_attention and context is not None
         ctx_dim = Cq if context is None else context.shape[-1]

@@ -59,6 +59,18 @@ def build_uncond_context(model, batch: int = 1, with_image: bool = None,
     if with_image is None:
         with_image = model.image_encoder is not None
     if uncond_type == "zero_embed":
+        if with_image:
+            import warnings
+
+            warnings.warn(
+                "zero_embed uncond on an image-conditioned model: this zeroes "
+                "only the text part and keeps the CFG pair batchable; the "
+                "reference (funcs.py:24-34) zeroes the full cond embedding and "
+                "appends zero-image tokens (uncond gets 16 extra tokens). Both "
+                "shipped configs use empty_seq — verify parity before using "
+                "zero_embed with real image-conditioned weights.",
+                stacklevel=2,
+            )
         assert cond_like is not None, "zero_embed needs the cond context shape"
         text_len = getattr(model.config.unet, "text_context_len", 77)
         uc_text = jnp.zeros(

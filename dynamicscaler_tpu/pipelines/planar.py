@@ -269,7 +269,10 @@ def _window_step(
         # ratios are traced (0.0 = no-op mix): one step program for every
         # step of the schedule, so the expensive first-call program load
         # happens once instead of once per renoise/merge variant
-        noised = re_noise(schedule, wins, index - 1, index, key=key)
+        # clamp: on the final step index-1 == -1 and renoise_ratio == 0.0 —
+        # the result is discarded by the no-op mix, but the table read must
+        # not rely on XLA's out-of-bounds gather clamping (ADVICE r2)
+        noised = re_noise(schedule, wins, jnp.maximum(index - 1, 0), index, key=key)
         wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
 
     new, den = denoise_batch(wins, context)

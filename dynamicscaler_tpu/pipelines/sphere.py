@@ -211,7 +211,9 @@ def _sphere_step(
         mask_gather_idx, mask_valid, scatter_idx, pair_view, pair_f,
         frames, F, EH * EW,
     )
-    noised = re_noise(schedule, wins, index - 1, index, key=key)
+    # clamp: final step has index-1 == -1 with renoise_ratio 0.0 — discarded
+    # by the no-op mix; don't rely on XLA gather clamping (ADVICE r2)
+    noised = re_noise(schedule, wins, jnp.maximum(index - 1, 0), index, key=key)
     wins = mix_with_mask(wins, noised, earlier_mask, renoise_ratio)
 
     frame_idx = jnp.full((frames,), index, jnp.int32)

@@ -182,9 +182,23 @@ class HashTokenizer:
         return out
 
 
-def load_tokenizer(bpe_path: str = None):
-    """Load the real BPE tokenizer if the asset exists, else the hash
-    stand-in (with the parity caveat documented above)."""
+def load_tokenizer(bpe_path: str = None, allow_fallback: bool = False):
+    """Load the real CLIP BPE tokenizer.
+
+    Hard-fails when the asset is missing: real converted weights with the
+    HashTokenizer silently produce garbage text embeddings (VERDICT r2 #7).
+    Dev paths (`--dev_tiny`/`--dev_random`) construct HashTokenizer
+    explicitly; `allow_fallback=True` restores the old behavior for them.
+    """
     if bpe_path and os.path.exists(bpe_path):
         return CLIPBPETokenizer(bpe_path)
-    return HashTokenizer()
+    if allow_fallback:
+        return HashTokenizer()
+    raise FileNotFoundError(
+        "CLIP BPE vocabulary not found"
+        + (f" at {bpe_path!r}" if bpe_path else " (no --bpe_path given)")
+        + ". Real checkpoints require the open_clip "
+        "bpe_simple_vocab_16e6.txt.gz asset — pass its path via --bpe_path. "
+        "(The HashTokenizer fallback is only valid for --dev_tiny / "
+        "--dev_full_random runs, which never reach this loader.)"
+    )

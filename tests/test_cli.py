@@ -141,3 +141,62 @@ def test_demo_server_generates(tmp_path):
         assert "data:image/gif;base64," in resp or "data:video/mp4;base64," in resp
     finally:
         server.shutdown()
+
+
+def test_demo_server_i2v_upload(tmp_path):
+    """Image-conditioned model: the demo serves the i2v upload form
+    (reference scripts/gradio/i2v_test.py) and generates from a posted
+    image via multipart/form-data."""
+    import http.client
+    import io as _io
+    import threading
+    import jax
+    from PIL import Image
+
+    from dynamicscaler_tpu.cli.demo import make_server
+    from dynamicscaler_tpu.models.lvdm import LatentVideoDiffusion, tiny_test_config
+    from dynamicscaler_tpu.utils.tokenizer import HashTokenizer
+
+    model = LatentVideoDiffusion.init_random(
+        tiny_test_config(img_attention=True), jax.random.PRNGKey(0),
+        tokenizer=HashTokenizer(512),
+    )
+    server = make_server(
+        model, port=0, result_dir=str(tmp_path),
+        defaults={"steps": 2, "height": 32, "width": 32},
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "/generate_i2v" in page and 'type="file"' in page
+
+        buf = _io.BytesIO()
+        Image.fromarray(
+            (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")
+        boundary = "xDEMOBOUNDARYx"
+        parts = []
+        for name, val in [("prompt", b"a swan"), ("steps", b"2"),
+                          ("cfg", b"7.5"), ("seed", b"1")]:
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
+                f"\r\n\r\n".encode() + val + b"\r\n"
+            )
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+            f'filename="in.png"\r\nContent-Type: image/png\r\n\r\n'.encode()
+            + buf.getvalue() + b"\r\n"
+        )
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        conn.request(
+            "POST", "/generate_i2v", body=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        resp = conn.getresponse().read().decode()
+        assert "data:image/gif;base64," in resp or "data:video/mp4;base64," in resp
+    finally:
+        server.shutdown()

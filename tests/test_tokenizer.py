@@ -75,8 +75,17 @@ def test_truncation_keeps_eot(synth_tokenizer):
     assert arr[0, -1] == tok.eot
 
 
-def test_load_tokenizer_fallback(tmp_path):
-    t = load_tokenizer(str(tmp_path / "missing.gz"))
+def test_load_tokenizer_missing_asset_hard_fails(tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="bpe_simple_vocab"):
+        load_tokenizer(str(tmp_path / "missing.gz"))
+    with pytest.raises(FileNotFoundError):
+        load_tokenizer(None)
+
+
+def test_load_tokenizer_explicit_fallback(tmp_path):
+    t = load_tokenizer(str(tmp_path / "missing.gz"), allow_fallback=True)
     assert isinstance(t, HashTokenizer)
     arr = t(["hello world"])
     assert arr.shape == (1, 77)
