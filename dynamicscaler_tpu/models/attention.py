@@ -34,7 +34,7 @@ from dynamicscaler_tpu.models.layers import (
     ProjParams,
     layer_norm,
 )
-from dynamicscaler_tpu.ops import fused_temporal
+from dynamicscaler_tpu.ops import fused_spatial, fused_temporal
 from dynamicscaler_tpu.ops.attention import attention as _fused_attention
 
 
@@ -99,13 +99,17 @@ class CrossAttention(nn.Module):
             and context is None
             and mask is None
             and not self.relative_position
-            and fused_temporal.fusable(N, inner, Cq, h)
         ):
-            out = fused_temporal.fused_ln_attention(
-                x, ln[0], ln[1], wq, wk, wv, wo, bo,
-                heads=h, scale=scale, add_residual=add_residual,
-            )
-            return out
+            if fused_temporal.fusable(N, inner, Cq, h):
+                return fused_temporal.fused_ln_attention(
+                    x, ln[0], ln[1], wq, wk, wv, wo, bo,
+                    heads=h, scale=scale, add_residual=add_residual,
+                )
+            if fused_spatial.fusable(N, inner, Cq, h):
+                return fused_spatial.fused_ln_spatial_attention(
+                    x, ln[0], ln[1], wq, wk, wv, wo, bo,
+                    heads=h, scale=scale, add_residual=add_residual,
+                )
 
         x_res = x
         xn = layer_norm(x, ln[0], ln[1], dtype=dt) if ln is not None else x

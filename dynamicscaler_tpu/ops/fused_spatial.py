@@ -1,0 +1,199 @@
+"""Fused Pallas TPU kernel for the UNet's spatial self-attention sub-blocks.
+
+VideoCrafter's spatial transformers (lvdm/modules/attention.py:223-278)
+attend over N = H*W tokens per (batch, frame) row — N = 2560/640/160 at the
+native window sizes. XLA materializes the [rows, heads, N, N] logits/probs
+tensors in HBM (at L1 that is ~8-17 GB of traffic per instance per forward;
+dev/bench_spatial.py even OOMs the isolated sub-block), which makes the
+sub-block HBM-bound far below the MXU roofline.
+
+This kernel fuses LayerNorm -> QKV -> full N-token attention -> out-proj
+[-> +residual] with the logits resident in VMEM only:
+
+* grid over batch rows (``TB`` rows per block, 1 at N=2560);
+* projections are [TB*N, C] @ [C, C] MXU matmuls on VMEM data;
+* per head: ``logits = Q_h @ K_h^T`` ([N, N] fp32, never written to HBM),
+  fp32 softmax, ``P @ V_h``;
+* d = 64 heads bound the attention matmuls at ~50% MXU (64-deep
+  contraction / 64-wide output) — inherent to the checkpoint's head size.
+
+Numerics match the unfused path (flax LayerNorm fast-variance in fp32,
+bf16 matmul inputs, fp32 softmax) to bf16 rounding; parity is tested in
+interpret mode on CPU (tests/test_fused_spatial.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dynamicscaler_tpu.ops import fused_temporal
+
+
+def _mode() -> str:
+    return fused_temporal.mode()  # shared auto/off/interpret switch
+
+
+def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
+    """Gate for the fused spatial self-attention kernel.
+
+    Token counts must tile the (16, 128)-shaped bf16 VMEM layout; square
+    projections (inner == query dim, true for all UNet spatial blocks);
+    C <= 1280 keeps the four weight matrices + one row's tiles in VMEM.
+    Small-N rows (mid block, N=40) stay on XLA where logits are trivial.
+    """
+    if _mode() == "off":
+        return False
+    if not (_mode() == "interpret" or fused_temporal._tpu_available()):
+        return False
+    return (
+        128 <= n_tokens <= 4096
+        and n_tokens % 16 == 0
+        and inner == query_dim
+        and inner % heads == 0
+        and inner <= 1280
+        and (inner // heads) % 8 == 0
+    )
+
+
+def _row_tile(N: int, C: int, itemsize: int) -> int:
+    """Rows per grid block: bound fp32 logits (TB*N*N*4) + tiles to VMEM."""
+    budget = 48 * 1024 * 1024  # logits budget; weights/tiles ride alongside
+    tb = max(1, budget // (N * N * 4 + 8 * N * C * itemsize))
+    return min(tb, 8)
+
+
+def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+            *, heads: int, scale: float, eps: float, add_residual: bool):
+    TB, N, C = x_ref.shape
+    d = C // heads
+    x = x_ref[:].reshape(TB * N, C)
+
+    # LayerNorm (flax fast-variance semantics, fp32)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * s_ref[:].astype(jnp.float32)
+    h = ((xf - mu) * mul + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    # QKV projections — MXU matmuls on VMEM-resident data
+    q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    q = q.reshape(TB, N, C)
+    k = k.reshape(TB, N, C)
+    v = v.reshape(TB, N, C)
+
+    outs = []
+    for hh in range(heads):
+        qh = q[..., hh * d:(hh + 1) * d]
+        kh = k[..., hh * d:(hh + 1) * d]
+        vh = v[..., hh * d:(hh + 1) * d]
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [TB, N, N] fp32 — VMEM only
+        logits = logits * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        oh = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(oh.astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1).reshape(TB * N, C)
+
+    out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    out = out.astype(x.dtype)
+    if add_residual:
+        out = out + x
+    o_ref[:] = out.reshape(TB, N, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "eps", "add_residual", "interpret"),
+)
+def _fused_call(x, s, b, wq, wk, wv, wo, bo, *, heads, scale, eps,
+                add_residual, interpret):
+    B, N, C = x.shape
+    TB = _row_tile(N, C, x.dtype.itemsize)
+    pad = (-B) % TB
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    Bp = B + pad
+
+    x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    flops_mm = 8 * Bp * N * C * C  # 4 square projections
+    flops_attn = 4 * Bp * N * N * C  # QK^T + PV
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, heads=heads, scale=scale, eps=eps, add_residual=add_residual
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, C), x.dtype),
+        grid=(Bp // TB,),
+        in_specs=[x_spec, vec_spec, vec_spec, w_spec, w_spec, w_spec, w_spec, vec_spec],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm + flops_attn,
+            bytes_accessed=2 * Bp * N * C * 2 + 4 * C * C * 2,
+            transcendentals=Bp * heads * N * N,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, s, b, wq, wk, wv, wo, bo)
+    return out[:B] if pad else out
+
+
+def fused_ln_spatial_attention(
+    x: jnp.ndarray,  # [B, N, C]
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    *,
+    heads: int,
+    scale: float,
+    eps: float = 1e-5,
+    add_residual: bool = True,
+) -> jnp.ndarray:
+    """LayerNorm -> QKV -> N-token self-attention -> out-proj [-> +x] as one
+    Pallas kernel. x: [B, N, C]; weights [C, C] (flax Dense layout);
+    ln_scale/ln_bias/bo: [C]. Caller must have checked ``fusable``."""
+    B, N, C = x.shape
+    assert wq.shape == (C, C) and wo.shape == (C, C), (wq.shape, wo.shape)
+    to2d = lambda t: t.reshape(1, C)
+    return _fused_call(
+        x,
+        to2d(ln_scale.astype(jnp.float32)),
+        to2d(ln_bias.astype(jnp.float32)),
+        wq.astype(x.dtype),
+        wk.astype(x.dtype),
+        wv.astype(x.dtype),
+        wo.astype(x.dtype),
+        to2d(bo.astype(jnp.float32)),
+        heads=heads,
+        scale=float(scale),
+        eps=float(eps),
+        add_residual=add_residual,
+        interpret=_mode() == "interpret",
+    )

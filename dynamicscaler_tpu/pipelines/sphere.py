@@ -155,6 +155,124 @@ def device_sphere_masks(
 # ---------------------------------------------------------------------------
 
 
+def _sphere_step_sequential(
+    params,
+    schedule: DDIMSchedule,
+    latent: jnp.ndarray,  # [1, F, eqh, eqw, C]
+    denoised_buf: jnp.ndarray,
+    static_clean: jnp.ndarray,
+    gather_idx: jnp.ndarray,
+    scatter_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    pair_view: jnp.ndarray,
+    pair_f: jnp.ndarray,
+    mask_gather_idx: jnp.ndarray,
+    mask_valid: jnp.ndarray,
+    context: jnp.ndarray,  # [Nw, L, D]
+    uncond_context: jnp.ndarray,
+    t,
+    index,
+    renoise_ratio,
+    merge_prev_ratio,
+    paste_on_static_flag,
+    key,
+    *,
+    model: LatentVideoDiffusion,
+    frames: int,
+    guidance: float,
+    fps: int,
+    get_scale: int = 1,
+    set_scale: int = 1,
+):
+    """Reference-exact sequential ordering of one sphere step
+    (i2v_sphere_panorama_pipeline.py:279-471): each (frame-window, view)
+    pair gathers from the CURRENT pano latent — seeing prior pairs' writes
+    — applies the denoised-mask renoise merge, denoises, merge-prev mixes,
+    and scatters into BOTH the gather source and the paste target (the
+    re-noised static pano when paste_on_static, :245-254,443-451). The
+    within-step coverage mask is written with each pair's set-scale
+    footprint and read at native view resolution (:341-365,453-462).
+
+    This is the oracle-matching twin of the batched ``last`` mode (which
+    gathers all views from the step-start latent); tests/test_loop_parity.py
+    drives the reference ``RingPanoramaTensor`` + scheduler against it.
+    """
+    B, F, EH, EW, C = latent.shape
+    h, w = gather_idx.shape[1:]
+    mh, mw = mask_gather_idx.shape[1:]
+    frame_idx = jnp.full((frames,), index, jnp.int32)
+
+    clean = jnp.broadcast_to(static_clean, (B, F) + static_clean.shape[2:])
+    renoised_static = re_noise(
+        schedule, clean, 0, index, key=jax.random.fold_in(key, 1)
+    )
+    # paste target starts from the re-noised static pano (or the latent when
+    # paste is off — then tgt and lat receive identical writes)
+    tgt0 = jnp.where(paste_on_static_flag, renoised_static, latent)
+
+    lat_flat = latent.reshape(F, EH * EW, C)
+    tgt_flat = tgt0.reshape(F, EH * EW, C)
+    den_flat = denoised_buf.reshape(F, EH * EW, C)
+    cov0 = jnp.zeros((F, EH * EW), jnp.float32)
+
+    def body(carry, xs):
+        lat, tgt, den, cov = carry
+        v_idx, f0, ctx_k, k = xs
+        fi = wrap_slice_indices(f0, frames, F)
+
+        gi = gather_idx[v_idx].reshape(-1)
+        win = lat[fi][:, gi, :] * valid[v_idx].reshape(1, -1, 1)
+        win = win.reshape(1, frames, h, w, C)
+        if get_scale != 1:
+            win = resize_video_latent(
+                win, h // get_scale, w // get_scale, mode="nearest"
+            )
+        prev = win
+
+        mgi = jnp.minimum(mask_gather_idx[v_idx].reshape(-1), EH * EW - 1)
+        m = (cov[fi][:, mgi] * mask_valid[v_idx].reshape(-1)[None, :])
+        m = m.reshape(1, frames, mh, mw, 1)
+
+        noised = re_noise(
+            schedule, win, jnp.maximum(index - 1, 0), index,
+            key=jax.random.fold_in(key, k + 2),
+        )
+        win = mix_with_mask(win, noised, m, renoise_ratio)
+
+        if guidance != 1.0:
+            x2 = jnp.concatenate([win, win], axis=0)
+            cc = jnp.concatenate([ctx_k[None], uncond_context[:1]], axis=0)
+            eps = model.apply_unet(x2, jnp.full((2,), t), cc, fps, params=params)
+            eps = eps[1:] + guidance * (eps[:1] - eps[1:])
+        else:
+            eps = model.apply_unet(win, jnp.full((1,), t), ctx_k[None], fps, params=params)
+        new, den_w = ddim_step(schedule, win, eps, frame_idx)
+
+        new = mix_with_mask(new, prev, m, merge_prev_ratio)
+
+        if set_scale != 1:
+            nh = (h // get_scale) * set_scale
+            nw = (w // get_scale) * set_scale
+            new = resize_video_latent(new, nh, nw, mode="nearest")
+            den_w = resize_video_latent(den_w, nh, nw, mode="nearest")
+
+        si = scatter_idx[v_idx].reshape(-1)
+        wn = new.reshape(frames, -1, C)
+        wd = den_w.reshape(frames, -1, C)
+        lat = lat.at[fi[:, None], si[None, :], :].set(wn, mode="drop")
+        tgt = tgt.at[fi[:, None], si[None, :], :].set(wn, mode="drop")
+        den = den.at[fi[:, None], si[None, :], :].set(wd, mode="drop")
+        cov = cov.at[fi[:, None], si[None, :]].set(1.0, mode="drop")
+        return (lat, tgt, den, cov), None
+
+    (lat_flat, tgt_flat, den_flat, _), _ = jax.lax.scan(
+        body, (lat_flat, tgt_flat, den_flat, cov0),
+        (pair_view, pair_f, context, jnp.arange(pair_view.shape[0])),
+    )
+    out = jnp.where(paste_on_static_flag, tgt_flat, lat_flat)
+    return out.reshape(latent.shape), den_flat.reshape(latent.shape)
+
+
 def _sphere_step(
     params,
     schedule: DDIMSchedule,
@@ -188,6 +306,17 @@ def _sphere_step(
     get_scale: int = 1,
     set_scale: int = 1,
 ):
+    if mode == "sequential":
+        return _sphere_step_sequential(
+            params, schedule, latent, denoised_buf, static_clean,
+            gather_idx, scatter_idx, valid, pair_view, pair_f,
+            mask_gather_idx, mask_valid, context, uncond_context,
+            t, index, renoise_ratio, merge_prev_ratio,
+            paste_on_static_flag, key,
+            model=model, frames=frames, guidance=guidance, fps=fps,
+            get_scale=get_scale, set_scale=set_scale,
+        )
+
     B, F, EH, EW, C = latent.shape
     Nw = pair_view.shape[0]
     flat_lat = latent.reshape(F, EH * EW, C)

@@ -246,3 +246,133 @@ def test_planar_multiwindow_step_parity(bundle):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=2e-3, rtol=1e-3
     )
+
+
+def test_sphere_step_sequential_parity(bundle, monkeypatch):
+    """One flagship sphere step in reference ordering (VERDICT r2 #4):
+    reference `RingPanoramaLatentProxy` view gather -> denoised-mask
+    renoise merge -> CFG UNet -> `lvdm_DDIM_Scheduler.ddim_step` ->
+    merge-prev mix -> sequential scatter into BOTH the gather source and
+    the paste_on_static target (i2v_sphere_panorama_pipeline.py:245-254,
+    320-471) vs `_sphere_step(mode="sequential")` — identical converted
+    weights and identical injected re_noise draws (the jax keys' noise is
+    replayed into torch.randn_like)."""
+    import jax
+
+    from utils.ring_panorama_tensor_utils import RingPanoramaLatentProxy
+    from utils.tensor_utils import mix_latents_with_mask
+
+    from dynamicscaler_tpu.ops.sphere import make_sphere_views
+    from dynamicscaler_tpu.pipelines.sphere import _sphere_step
+
+    m, model, jsched, tsched = bundle
+    F_ = fs = 4
+    EH, EW = 8, 16
+    hv = wv = 4
+    fov = 120.0
+    views = [(0.0, 0.0), (0.0, 60.0)]  # (phi, theta) — overlapping pair
+    index = 2
+    t = int(tsched.ddim_timesteps[index])
+    g, fps = 7.5, 16
+    renoise_ratio, merge_prev = 1.0, 0.5
+
+    rng = np.random.default_rng(12)
+    x0 = rng.standard_normal((1, 4, F_, EH, EW)).astype(np.float32)  # [B,C,F,H,W]
+    static = rng.standard_normal((1, 4, 1, EH, EW)).astype(np.float32)
+    ctx = rng.standard_normal((2, 77, 64)).astype(np.float32)
+    uc = rng.standard_normal((1, 77, 64)).astype(np.float32)
+
+    key = jax.random.PRNGKey(3)
+    # replay the exact noise the jitted step will draw (ops/ddim.py re_noise:
+    # jax.random.normal(key, shape)) into the torch oracle, in its call
+    # order: static paste renoise first, then one renoise per view
+    n_static = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 1), (1, F_, EH, EW, 4), jnp.float32)
+    )
+    n_views = [
+        np.asarray(
+            jax.random.normal(jax.random.fold_in(key, k + 2), (1, fs, hv, wv, 4), jnp.float32)
+        )
+        for k in range(len(views))
+    ]
+    to_t = lambda a: torch.from_numpy(np.ascontiguousarray(a.transpose(0, 4, 1, 2, 3)))
+    queue = [to_t(n_static)] + [to_t(n) for n in n_views]
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x, **kw: queue.pop(0).to(x.dtype)
+    )
+
+    # --- torch oracle: reference-ordered sphere step
+    lat_h = RingPanoramaLatentProxy(torch.from_numpy(x0.copy()))
+    den_h = RingPanoramaLatentProxy(torch.zeros_like(torch.from_numpy(x0)))
+    mask_h = RingPanoramaLatentProxy(torch.zeros_like(torch.from_numpy(x0)))
+    clear_rep = torch.from_numpy(static).repeat(1, 1, F_, 1, 1)
+    noised_rep = tsched.re_noise(x_a=clear_rep, step_a=0, step_b=index)
+    tmp_h = RingPanoramaLatentProxy(noised_rep)
+    for k, (phi, theta) in enumerate(views):
+        view, _ = lat_h.get_view_tensor_no_interpolate(
+            fov, theta, phi, wv, hv, frame_begin=0, frame_end=fs
+        )
+        prev = view.clone()
+        mview, _ = mask_h.get_view_tensor_no_interpolate(
+            fov, theta, phi, wv, hv, frame_begin=0, frame_end=fs
+        )
+        noised = tsched.re_noise(x_a=view.clone(), step_a=index - 1, step_b=index)
+        view = mix_latents_with_mask(view, noised, mview, renoise_ratio)
+        eps = _torch_cfg_eps(
+            m, view, t, torch.from_numpy(ctx[k : k + 1]), torch.from_numpy(uc), g, fps
+        )
+        view, den = tsched.ddim_step(sample=view, noise_pred=eps, indices=[index] * fs)
+        view = mix_latents_with_mask(view, prev, mview, merge_prev)
+        for h in (lat_h, tmp_h):
+            h.set_view_tensor_no_interpolation(
+                view, fov, theta, phi, frame_begin=0, frame_end=fs
+            )
+        den_h.set_view_tensor_no_interpolation(
+            den, fov, theta, phi, frame_begin=0, frame_end=fs
+        )
+        mask_h.set_view_tensor_no_interpolation(
+            torch.ones_like(view), fov, theta, phi, frame_begin=0, frame_end=fs
+        )
+    assert not queue  # every injected draw consumed
+    ref_lat = tmp_h.get_equirect_tensor().numpy()
+    ref_den = den_h.get_equirect_tensor().numpy()
+
+    # --- ours: one sequential-mode sphere step, same maps, same keys
+    svs = make_sphere_views([(fov, th, ph) for (ph, th) in views], hv, wv, EH, EW)
+    gather = jnp.asarray(np.stack([v.gather_idx for v in svs]))
+    scatter = jnp.asarray(np.stack([v.scatter_idx for v in svs]))
+    valid = jnp.asarray(np.stack([v.valid for v in svs]).astype(np.float32))
+    got_lat, got_den = _sphere_step(
+        model.params,
+        jsched,
+        jnp.asarray(x0.transpose(0, 2, 3, 4, 1)),
+        jnp.zeros((1, F_, EH, EW, 4)),
+        jnp.asarray(static.transpose(0, 2, 3, 4, 1)),
+        gather,
+        scatter,
+        valid,
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([0, 1], jnp.int32),
+        jnp.asarray([0, 0], jnp.int32),
+        gather,
+        valid,
+        jnp.asarray(ctx),
+        jnp.asarray(uc),
+        jnp.asarray(t, jnp.int32),
+        jnp.asarray(index, jnp.int32),
+        jnp.asarray(renoise_ratio),
+        jnp.asarray(merge_prev),
+        jnp.asarray(True),
+        key,
+        model=model,
+        frames=fs,
+        guidance=g,
+        fps=fps,
+        mode="sequential",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lat).transpose(0, 4, 1, 2, 3), ref_lat, atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_den).transpose(0, 4, 1, 2, 3), ref_den, atol=2e-3, rtol=1e-3
+    )
