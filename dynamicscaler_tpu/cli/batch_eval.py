@@ -74,14 +74,15 @@ def main(args):
     if args.mode == "i2v":
         import glob
 
-        from dynamicscaler_tpu.utils.io import load_image
-
+        # images, plus video files whose FIRST frame conditions the clip
+        # (funcs.py:129-167 decord branch; here via imageio when an
+        # ffmpeg/pyav backend exists — utils/io.load_first_frame)
         paths = sorted(
-            p for ext in ("png", "jpg", "jpeg")
+            p for ext in ("png", "jpg", "jpeg", "mp4", "avi", "mov", "webm")
             for p in glob.glob(os.path.join(args.cond_input, f"*.{ext}"))
         )
         assert len(paths) == len(prompts), (
-            f"cond images ({len(paths)}) != prompts ({len(prompts)}) "
+            f"cond inputs ({len(paths)}) != prompts ({len(prompts)}) "
             f"(inference.py:82 requires 1:1)"
         )
         cond_shard = paths[rank::world]
@@ -119,9 +120,9 @@ def main(args):
     for i, prompt in enumerate(shard):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), rank * 100003 + i)
         if args.mode == "i2v":
-            from dynamicscaler_tpu.utils.io import load_image
+            from dynamicscaler_tpu.utils.io import load_first_frame
 
-            cond = load_image(cond_shard[i], args.height, args.width)
+            cond = load_first_frame(cond_shard[i], args.height, args.width)
             video, _ = i2v.basic_sample(
                 model, prompt, cond,
                 height=args.height, width=args.width, frames=args.frames,

@@ -43,19 +43,21 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
 
     Token counts must tile the (16, 128)-shaped bf16 VMEM layout; square
     projections (inner == query dim, true for all UNet spatial blocks);
-    C <= 1280 keeps the four weight matrices + one row's tiles in VMEM.
-    Small-N rows (mid block, N=40) stay on XLA where logits are trivial.
+    C <= 640 — measured on v5e: x1.60 at (N=2560, C=320), x2.09 at
+    (N=640, C=640), but x0.94 at (N=160, C=1280) where projections dominate
+    and XLA's row-batched matmuls already run at ~103 TFLOP/s, so small-N /
+    wide-C levels (L3, mid block) stay on XLA.
     """
     if _mode() == "off":
         return False
     if not (_mode() == "interpret" or fused_temporal._tpu_available()):
         return False
     return (
-        128 <= n_tokens <= 4096
+        256 <= n_tokens <= 4096
         and n_tokens % 16 == 0
         and inner == query_dim
         and inner % heads == 0
-        and inner <= 1280
+        and inner <= 640
         and (inner // heads) % 8 == 0
     )
 
@@ -102,12 +104,13 @@ def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
         logits = logits * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        # normalize AFTER the PV matmul: N*d divisions instead of N*N
+        denom = jnp.sum(e, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
-            p, vh, (((2,), (1,)), ((0,), (0,))),
+            e.astype(x.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        outs.append(oh.astype(x.dtype))
+        outs.append((oh / denom).astype(x.dtype))
     o = jnp.concatenate(outs, axis=-1).reshape(TB * N, C)
 
     out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32)

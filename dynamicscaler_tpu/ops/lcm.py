@@ -135,6 +135,17 @@ def lcm_step(
     return prev_sample, denoised
 
 
+def fifo_timestep_vectors(schedule: LCMSchedule) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-queue-slot (timestep, prev_timestep) vectors for FIFO diagonal
+    denoising, transcribing ``fifo_step``'s index mapping
+    (d_scheduler.py:485-495): the queue runs front (cleanest) -> back, i.e.
+    the ASCENDING timesteps list; slot i's previous timestep is slot i-1's,
+    and the front slot keeps its own (prev_timeindex out of range)."""
+    t_asc = schedule.timesteps[::-1]
+    prev = jnp.concatenate([t_asc[:1], t_asc[:-1]])
+    return t_asc, prev
+
+
 def lcm_add_noise(
     schedule: LCMSchedule,
     original: jnp.ndarray,

@@ -25,6 +25,30 @@ def load_image(path: str, height: int, width: int, norm_to_1: bool = True) -> np
     return arr
 
 
+def load_first_frame(path: str, height: int, width: int) -> np.ndarray:
+    """First frame of a video file (or an image) as float32 [H, W, 3] in
+    [-1, 1] — the reference's decord mp4 branch of ``load_image_batch``
+    (scripts/evaluation/funcs.py:156-167). decord is absent here; video
+    files go through imageio, which needs an ffmpeg/pyav backend — a clear
+    error names the missing plugin when none is installed."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".mp4", ".avi", ".mov", ".webm", ".mkv"):
+        try:
+            import imageio.v3 as iio
+
+            frame = iio.imread(path, index=0)
+        except Exception as e:  # no ffmpeg/pyav in this environment
+            raise RuntimeError(
+                f"reading video conditioning {path!r} requires an imageio "
+                f"video backend (ffmpeg or pyav), unavailable here: {e}"
+            ) from e
+        img = Image.fromarray(frame).convert("RGB").resize(
+            (width, height), Image.BILINEAR
+        )
+        return (np.asarray(img, np.float32) / 255.0 - 0.5) * 2
+    return load_image(path, height, width)
+
+
 def to_uint8_frames(video: np.ndarray) -> np.ndarray:
     """[F, H, W, 3] float in [-1, 1] -> uint8 (no-op if already uint8)."""
     if video.dtype == np.uint8:

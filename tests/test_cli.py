@@ -200,3 +200,28 @@ def test_demo_server_i2v_upload(tmp_path):
         assert "data:image/gif;base64," in resp or "data:video/mp4;base64," in resp
     finally:
         server.shutdown()
+
+
+def test_load_first_frame_image_and_video_branch(tmp_path):
+    """utils.io.load_first_frame: images load like load_image; video files
+    route to the imageio backend (funcs.py:156-167 decord branch) and fail
+    with a clear backend error in this ffmpeg-less environment."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dynamicscaler_tpu.utils.io import load_first_frame, load_image
+
+    p = tmp_path / "c.png"
+    rng = np.random.default_rng(1)
+    Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(p)
+    a = load_first_frame(str(p), 8, 8)
+    np.testing.assert_array_equal(a, load_image(str(p), 8, 8))
+
+    v = tmp_path / "c.mp4"
+    v.write_bytes(b"\x00\x00\x00\x18ftypmp42")  # stub container header
+    try:
+        frame = load_first_frame(str(v), 8, 8)
+    except RuntimeError as e:
+        assert "imageio" in str(e) and "backend" in str(e)
+    else:  # a real video backend exists in this env — must return a frame
+        assert frame.shape == (8, 8, 3)

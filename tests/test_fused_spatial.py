@@ -38,7 +38,7 @@ def _reference_subblock(x, s, b, wq, wk, wv, wo, bo, heads, scale):
     return o @ wo + bo + x
 
 
-@pytest.mark.parametrize("B,N,C,heads", [(3, 160, 64, 2), (2, 128, 32, 1), (1, 256, 128, 2)])
+@pytest.mark.parametrize("B,N,C,heads", [(3, 256, 64, 2), (2, 288, 32, 1), (1, 512, 128, 2)])
 def test_kernel_matches_reference(rng, B, N, C, heads):
     fused_temporal.set_mode("interpret")
     x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32)) * 0.5
@@ -62,8 +62,8 @@ def test_kernel_matches_reference(rng, B, N, C, heads):
 def test_batch_padding(rng):
     """Batch counts that don't divide the row tile are padded and sliced."""
     fused_temporal.set_mode("interpret")
-    B, N, C, heads = 5, 128, 32, 1
-    # N=128, C=32 -> TB = min(48MB budget, 8) = 8 > B=5
+    B, N, C, heads = 5, 256, 32, 1
+    # small N*C -> TB = 8 > B=5
     x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
     s = jnp.ones(C)
     b = jnp.zeros(C)
@@ -80,26 +80,27 @@ def test_module_dispatch_fused_equals_unfused(rng):
     """CrossAttention with spatial-shaped inputs (N too large for the
     temporal kernel) dispatches to the spatial kernel and matches."""
     mod = CrossAttention(heads=2, dim_head=16, dtype=jnp.float32)
-    x = jnp.asarray(rng.standard_normal((2, 160, 32)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
     s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(32).astype(np.float32))
     b = jnp.asarray(0.1 * rng.standard_normal(32).astype(np.float32))
     params = mod.init(jax.random.PRNGKey(0), x, ln=(s, b), add_residual=True)
 
     fused_temporal.set_mode("off")
-    assert not fused_spatial.fusable(160, 32, 32, 2)  # off gates both
+    assert not fused_spatial.fusable(256, 32, 32, 2)  # off gates both
     ref = mod.apply(params, x, ln=(s, b), add_residual=True)
     fused_temporal.set_mode("interpret")
-    assert fused_spatial.fusable(160, 32, 32, 2)
-    assert not fused_temporal.fusable(160, 32, 32, 2)
+    assert fused_spatial.fusable(256, 32, 32, 2)
+    assert not fused_temporal.fusable(256, 32, 32, 2)
     got = mod.apply(params, x, ln=(s, b), add_residual=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
 def test_gate_excludes_unsupported_shapes():
     fused_temporal.set_mode("interpret")
-    assert not fused_spatial.fusable(40, 1280, 1280, 20)  # mid block: N%16 but <128
+    assert not fused_spatial.fusable(40, 1280, 1280, 20)  # mid block: tiny N
     assert not fused_spatial.fusable(2560, 320, 640, 5)  # non-square proj
     assert not fused_spatial.fusable(2561, 320, 320, 5)  # ragged tokens
+    assert not fused_spatial.fusable(160, 1280, 1280, 20)  # L3: XLA wins (measured)
+    assert not fused_spatial.fusable(512, 1280, 1280, 20)  # C>640
     assert fused_spatial.fusable(2560, 320, 320, 5)
     assert fused_spatial.fusable(640, 640, 640, 10)
-    assert fused_spatial.fusable(160, 1280, 1280, 20)

@@ -155,6 +155,24 @@ def test_fifo_streaming(t2v_model):
     np.testing.assert_array_equal(np.asarray(lat), np.asarray(lat2))
 
 
+def test_fifo_streaming_lcm(t2v_model):
+    """The LCM / T2V-Turbo FIFO stream (d_scheduler.py fifo_step semantics,
+    oracle-tested in test_lcm.py) runs end to end."""
+    from dynamicscaler_tpu.pipelines.fifo import fifo_sample
+
+    _, lat = fifo_sample(
+        t2v_model, "stream", num_output_frames=5, height=32, width=32,
+        frames=4, key=jax.random.PRNGKey(9), decode=False, scheduler="lcm",
+    )
+    assert lat.shape == (1, 5, 16, 16, 4)
+    assert bool(jnp.isfinite(lat).all())
+    _, lat2 = fifo_sample(
+        t2v_model, "stream", num_output_frames=5, height=32, width=32,
+        frames=4, key=jax.random.PRNGKey(9), decode=False, scheduler="lcm",
+    )
+    np.testing.assert_array_equal(np.asarray(lat), np.asarray(lat2))
+
+
 def test_i2v_integer_grid_with_dock(i2v_model):
     pano = np.zeros((32, 64, 3), np.float32)
     video, den = i2v.sample_shift_multi_windows_integer(

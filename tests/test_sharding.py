@@ -125,3 +125,86 @@ def test_seq_scatter_stays_distributed(model):
 
     for s in compiled.output_shardings:
         assert s.shard_shape((1, F, H, W, C))[3] == W // 2, s
+
+
+def _collective_shape_elems(compiled):
+    """Max element count over all collective ops in the optimized HLO
+    (handles sync and -start async forms, tuple shapes)."""
+    import re
+
+    out = []
+    for line in compiled.as_text().splitlines():
+        if not re.search(
+            r"(all-gather|all-reduce|all-to-all|collective-permute|"
+            r"reduce-scatter)(-start)?\(", line
+        ):
+            continue
+        shapes = re.findall(r"(?:f32|bf16|f16|s32|u32|pred)\[([\d,]+)\]",
+                            line.split("=", 1)[-1])
+        for s in shapes:
+            out.append((int(np.prod([int(d) for d in s.split(",")])), line.strip()))
+    return out
+
+
+def test_sphere_step_stays_distributed(model):
+    """The seq-sharded SPHERE step (the stage that dominates e2e) must never
+    materialize the full pano latent unsharded (VERDICT r2 #5): gather /
+    coverage-mask / scatter run per W-slab under shard_map, per-collective
+    traffic is bounded by the window batch, outputs come back seq-sharded
+    along W — and the sharded result equals the unsharded one bit-for-bit."""
+    from functools import partial
+
+    from dynamicscaler_tpu.ops.ddim import make_ddim_schedule
+    from dynamicscaler_tpu.ops.sphere import make_sphere_views
+    from dynamicscaler_tpu.pipelines.sphere import _sphere_step
+
+    mesh = make_mesh(n_data=4, n_seq=2)
+    params = replicate(model.params, mesh)
+    sched = make_ddim_schedule(8, 1000, linear_start=0.00085, linear_end=0.012)
+
+    F, EH, EW, C = 4, 16, 32, 4
+    hv = wv = 8
+    views = [(0.0, 0.0), (0.0, 90.0), (0.0, 180.0), (0.0, 270.0)]
+    svs = make_sphere_views([(120.0, th, ph) for (ph, th) in views], hv, wv, EH, EW)
+    gather = jnp.asarray(np.stack([v.gather_idx for v in svs]))
+    scatter = jnp.asarray(np.stack([v.scatter_idx for v in svs]))
+    valid = jnp.asarray(np.stack([v.valid for v in svs]).astype(np.float32))
+    Nv = len(views)
+    D = model.config.unet.context_dim
+
+    rng = np.random.default_rng(5)
+    lat0 = jnp.asarray(rng.standard_normal((1, F, EH, EW, C)).astype(np.float32))
+    static0 = jnp.asarray(rng.standard_normal((1, 1, EH, EW, C)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((Nv, 77, D)).astype(np.float32))
+    uc = jnp.asarray(rng.standard_normal((1, 77, D)).astype(np.float32))
+    args = (
+        jnp.zeros_like(lat0), static0, gather, scatter, valid,
+        jnp.asarray([0], jnp.int32),
+        jnp.arange(Nv, dtype=jnp.int32), jnp.zeros((Nv,), jnp.int32),
+        gather, valid, ctx, uc,
+        jnp.int32(500), jnp.int32(3), jnp.asarray(0.5), jnp.asarray(0.5),
+        jnp.asarray(True), jax.random.PRNGKey(0),
+    )
+    common = dict(model=model, frames=F, guidance=7.5, fps=16, mode="last",
+                  unet_microbatch=0)
+
+    step_1dev = jax.jit(partial(_sphere_step, **common, mesh=None))
+    ref_lat, ref_den = step_1dev(model.params, sched, lat0, *args)
+
+    step = jax.jit(partial(_sphere_step, **common, mesh=mesh))
+    lat_sh = jax.device_put(lat0, latent_sharding(mesh))
+    compiled = step.lower(params, sched, lat_sh, *args).compile()
+
+    latent_elems = F * EH * EW * C
+    window_batch_elems = 2 * Nv * F * hv * wv * C  # CFG-packed batch
+    colls = _collective_shape_elems(compiled)
+    assert colls, "expected at least the window-batch collective"
+    for elems, line in colls:
+        assert elems < latent_elems, f"latent-sized collective: {line[:160]}"
+        assert elems <= window_batch_elems, f"oversized collective: {line[:160]}"
+    for s in compiled.output_shardings:
+        assert s.shard_shape((1, F, EH, EW, C))[3] == EW // 2, s
+
+    got_lat, got_den = step(params, sched, lat_sh, *args)
+    np.testing.assert_array_equal(np.asarray(got_lat), np.asarray(ref_lat))
+    np.testing.assert_array_equal(np.asarray(got_den), np.asarray(ref_den))
