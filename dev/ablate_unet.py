@@ -54,25 +54,28 @@ def measure(name):
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes)
 
     def chained(K):
-        def f(x):
-            out = x
-            for _ in range(K):
-                out = unet.apply(params, out, t, ctx, 16)
+        def f(p, x):  # params as an ARG — closing over them captures 2.9GB
+            out = x    # of constants into the lowered program (hangs the
+            for _ in range(K):  # remote tunnel)
+                out = unet.apply(p, out, t, ctx, 16)
             return out.astype(jnp.float32).sum()
         return jax.jit(f)
 
     ts = {}
     for K in (K_LO, K_HI):
         fn = chained(K)
-        float(fn(x)); float(fn(x))
+        float(fn(params, x)); float(fn(params, x))
         t0 = time.perf_counter()
         for _ in range(3):
-            float(fn(x))
+            float(fn(params, x))
         ts[K] = (time.perf_counter() - t0) / 3
     per_fwd = (ts[K_HI] - ts[K_LO]) / (K_HI - K_LO) * 1e3
 
     try:
-        fl = float(jax.jit(lambda x: unet.apply(params, x, t, ctx, 16)).lower(x).compile().cost_analysis()["flops"])
+        fl = float(
+            jax.jit(lambda p, x: unet.apply(p, x, t, ctx, 16))
+            .lower(params, x).compile().cost_analysis()["flops"]
+        )
     except Exception:
         fl = float("nan")
     print(f"{name:14s}: {per_fwd:7.1f} ms/fwd  {fl/1e12:6.1f} TF  {fl/per_fwd/1e9:6.0f} GFLOP/s")

@@ -7,11 +7,11 @@ enable_compilation_cache()
 from dynamicscaler_tpu.models.layers import FeedForward
 from dynamicscaler_tpu.ops import fused_temporal
 
-SHAPES = [("L1", 16 * 2560, 320), ("L2", 16 * 640, 640)]  # tokens per frame-batch x F=16
+SHAPES = [("L1", 16 * 2560, 320), ("L2", 16 * 640, 640), ("L3", 16 * 160, 1280)]  # tokens per frame-batch x F=16
 
 for name, T_, C in SHAPES:
     T = T_ * 16 // 16  # tokens: rows*F for temporal == BF*N for spatial
-    Tt = 16 * 40 * 64 * 16 if C == 320 else 16 * 20 * 32 * 16
+    Tt = {320: 16 * 40 * 64 * 16, 640: 16 * 20 * 32 * 16, 1280: 16 * 10 * 16 * 16}[C]
     mod = FeedForward(dim=C, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0), (Tt, C), jnp.bfloat16)
     s = jnp.ones(C); b = jnp.zeros(C)

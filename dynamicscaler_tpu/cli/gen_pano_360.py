@@ -91,6 +91,10 @@ class VArgs:
     data_parallel_devices: int = 0
     dtype: str = "bfloat16"
     save_latents: bool = True
+    # pre-compile stage-2/3 step+decode programs on a background thread
+    # while stage 1 computes (compiles ride the host/tunnel and overlap chip
+    # work — dev/probe_aot.py measurement). ~200s wall-clock on one v5e.
+    aot_warm: bool = True
     profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
     dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
     dev_full_random: bool = False  # full-size constant-weight model (perf, no assets)
@@ -250,6 +254,65 @@ def main(vargs: VArgs):
         overlap_mode=vargs.overlap_mode,
     )
 
+    # ---- AOT warm: stage-2/3 programs compile while stage 1 computes ------
+    warm_thread = None
+    run_stage2 = not (vargs.skip_1x or vargs.predenoised_SW_1x_latent_path)
+    if vargs.aot_warm and not vargs.predenoised_SP_latent_path and (
+        run_stage2 or vargs.do_upscale
+    ):
+        import threading
+
+        uf = vargs.upscale_factor
+
+        def _warm():
+            try:
+                pano_w = load_image(vargs.pano_image_path, eq_h, eq_w)
+                if run_stage2:
+                    i2v.sample_shift_multi_windows(
+                        model, vargs.prompt, pano_w,
+                        total_w=eq_w, total_h=eq_h,
+                        num_windows_w=nw_w2, num_windows_h=nw_h2,
+                        loop_step=vargs.loop_step_hw,
+                        init_panorama_latent=jnp.zeros(
+                            (1, vargs.total_f, eq_h // vs, eq_w // vs,
+                             model.config.unet.in_channels)
+                        ),
+                        use_skip_time=True,
+                        skip_time_step_idx=vargs.denoise_to_step,
+                        progressive_skip=False,
+                        merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+                        mesh=mesh, unet_microbatch=vargs.unet_microbatch,
+                        key=jax.random.fold_in(key, 92), decode=True,
+                        warm_only=True, **common,
+                    )
+                    print("[aot_warm] stage-2 programs ready", flush=True)
+                if vargs.do_upscale:
+                    pano_w2 = load_image(vargs.pano_image_path, eq_h * uf, eq_w * uf)
+                    i2v.sample_shift_multi_windows(
+                        model, vargs.prompt, pano_w2,
+                        total_w=eq_w * uf, total_h=eq_h * uf,
+                        num_windows_w=nw_w2 * uf, num_windows_h=nw_h2 * uf,
+                        loop_step=vargs.loop_step_hw,
+                        init_panorama_latent=jnp.zeros(
+                            (1, vargs.total_f, eq_h // vs * uf, eq_w // vs * uf,
+                             model.config.unet.in_channels)
+                        ),
+                        use_skip_time=True,
+                        skip_time_step_idx=vargs.denoise_to_step,
+                        progressive_skip=False,
+                        merge_renoised_overlap_latent_ratio=vargs.merge_renoised_overlap_latent_ratio,
+                        mesh=mesh, unet_microbatch=vargs.unet_microbatch,
+                        key=jax.random.fold_in(key, 93), decode=True,
+                        warm_only=True, **common,
+                    )
+                    print("[aot_warm] stage-3 programs ready", flush=True)
+            except Exception as e:  # warm is best-effort; stages still work
+                print(f"[aot_warm] failed (stages will compile inline): {e!r}",
+                      flush=True)
+
+        warm_thread = threading.Thread(target=_warm, daemon=True, name="aot_warm")
+        warm_thread.start()
+
     # ---- STAGE 1: sphere panorama (gen_pano_360.py:227-272) ---------------
     t_stage = time.time()
     if vargs.predenoised_SP_latent_path:
@@ -294,6 +357,10 @@ def main(vargs: VArgs):
     if not vargs.predenoised_SP_latent_path:
         stage_secs["sphere"] = time.time() - t_stage
     print(f"[stage1] done at {time.time() - t_start:.1f}s; latent {sphere_latent.shape}")
+
+    if warm_thread is not None and warm_thread.is_alive():
+        print("[aot_warm] stage 1 finished first; waiting for program warm")
+        warm_thread.join()
 
     pano_1x = load_image(vargs.pano_image_path, eq_h, eq_w)
 

@@ -63,8 +63,13 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
 
 
 def _row_tile(N: int, C: int, itemsize: int) -> int:
-    """Rows per grid block: bound fp32 logits (TB*N*N*4) + tiles to VMEM."""
-    budget = 48 * 1024 * 1024  # logits budget; weights/tiles ride alongside
+    """Rows per grid block: bound fp32 logits (TB*N*N*4) + tiles to VMEM.
+
+    Budget 32MB: with double-buffered in/out windows, fp32 logits + exp,
+    QKV and weights alongside, TB=6 at (N=640, C=640) measured 130.6M vmem
+    (> the 128M limit) inside the full UNet — 32MB keeps TB=4 there and
+    TB=1 at (N=2560, C=320)."""
+    budget = 32 * 1024 * 1024
     tb = max(1, budget // (N * N * 4 + 8 * N * C * itemsize))
     return min(tb, 8)
 

@@ -237,7 +237,9 @@ def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 
 
 def _ff_token_tile(C: int, itemsize: int) -> int:
-    tt = 512 if C <= 320 else 256
+    # C=1280: w1+w2 weights alone are 39MB bf16 in VMEM; keep the token
+    # tile's fp32 [TT, 8C] GEGLU intermediate bounded
+    tt = 512 if C <= 320 else (256 if C <= 640 else 128)
     if itemsize > 2:
         tt //= 2
     return tt
@@ -289,7 +291,7 @@ def ff_fusable(dim: int) -> bool:
         return False
     if not (_MODE == "interpret" or _tpu_available()):
         return False
-    return 128 <= dim <= 640 and dim % 64 == 0
+    return 128 <= dim <= 1280 and dim % 64 == 0
 
 
 def fused_ln_geglu(

@@ -313,11 +313,18 @@ def sample_shift_multi_windows(
     key: Optional[jax.Array] = None,
     decode: bool = True,
     params=None,
+    warm_only: bool = False,
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Planar ring multi-window i2v sampling. Sizes in image pixels
     (``total_*``); windows are the model's native ``height x width``.
 
     Returns (video or None, denoised latent [1, F, th, tw, C]).
+
+    ``warm_only``: compile-and-load this call's step + decode programs by
+    executing one dummy step (and one dummy decode tile) instead of the
+    full loop, then return (None, None). Run from a background thread while
+    an earlier stage computes — the tunnel compile overlaps chip work
+    (gen_pano_360 AOT warm; dev/probe_aot.py measurement).
     """
     assert key is not None
     sched = make_schedule_for_model(model, num_inference_steps)
@@ -416,11 +423,27 @@ def sample_shift_multi_windows(
         guidance_scale=guidance_scale, fps=fps, overlap_mode=overlap_mode,
         mesh=mesh, unet_microbatch=unet_microbatch,
     )
+    # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
+    w_tiles = max(1, tw // 256)
+
+    if warm_only:
+        engine.run(latent, plan, uncond, k_run, params=params, warm_only=True)
+        if decode:
+            # one dummy decode tile loads the VAE program (same jit object,
+            # model._jit_vae_decode, as the real ring decode)
+            halo = tw // 16
+            tile_w = (tw // w_tiles if w_tiles > 1 else tw) + 2 * halo
+            p = params if params is not None else model.params
+            model._jit_vae_decode(
+                p, jnp.zeros((1, th, tile_w, model.config.unet.in_channels),
+                             jnp.float32),
+            ).block_until_ready()
+        _tm.mark("warm_only: step+decode programs loaded")
+        return None, None
+
     latent, denoised = engine.run(latent, plan, uncond, k_run, params=params)
     _tm.mark("denoise loop")
 
-    # one >=4K-equirect frame exceeds HBM decoded whole; tile the ring
-    w_tiles = max(1, tw // 256)
     video = (
         ring_aware_decode(model, denoised, w_tiles=w_tiles, params=params)
         if decode

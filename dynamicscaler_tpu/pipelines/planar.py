@@ -93,6 +93,9 @@ class StepPlan:
     merge_prev_ratio: Optional[float]
 
 
+_STEP_FN_CACHE: dict = {}
+
+
 class PlanarShiftWindowEngine:
     def __init__(
         self,
@@ -113,21 +116,36 @@ class PlanarShiftWindowEngine:
         self.fps = fps
         self.overlap_mode = overlap_mode
         self.mesh = mesh
-        self._step_fn = jax.jit(
-            partial(
-                _window_step,
-                model=model,
-                sizes=window_sizes,
-                guidance=guidance_scale,
-                fps=fps,
-                mode=overlap_mode,
-                mesh=mesh,
-                unet_microbatch=unet_microbatch,
-            ),
-            # the previous step's latent/denoised buffers are dead after the
-            # call — donate them so giant panorama latents update in place
-            donate_argnums=(2, 3),
+        # one jit object per static signature, shared across engine
+        # instances: an AOT warm run (gen_pano_360 background thread) and the
+        # real stage call then share one compiled executable — compiles
+        # through the axon tunnel cost minutes and the persistent disk cache
+        # does not shortcut the remote compiler (measured, dev/probe_aot.py)
+        ck = (
+            id(model), window_sizes, guidance_scale, fps, overlap_mode,
+            None if mesh is None else id(mesh), unet_microbatch,
         )
+        hit = _STEP_FN_CACHE.get(ck)
+        if hit is None:
+            fn = jax.jit(
+                partial(
+                    _window_step,
+                    model=model,
+                    sizes=window_sizes,
+                    guidance=guidance_scale,
+                    fps=fps,
+                    mode=overlap_mode,
+                    mesh=mesh,
+                    unet_microbatch=unet_microbatch,
+                ),
+                # the previous step's latent/denoised buffers are dead after
+                # the call — donate them so giant panoramas update in place
+                donate_argnums=(2, 3),
+            )
+            # keep model/mesh alive so the id() keys can't be reused
+            _STEP_FN_CACHE[ck] = (fn, model, mesh)
+            hit = _STEP_FN_CACHE[ck]
+        self._step_fn = hit[0]
 
     def run(
         self,
@@ -137,13 +155,39 @@ class PlanarShiftWindowEngine:
         key: jax.Array,
         params=None,
         pre_step=None,  # optional callable(latent, i, key) -> latent
+        warm_only: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Run the full window-denoise loop. Returns (latent, denoised)."""
+        """Run the full window-denoise loop. Returns (latent, denoised).
+
+        ``warm_only``: execute ONE dummy step per distinct plan signature
+        instead of the loop — populates this step program's jit dispatch
+        cache (compile + device load) so a later real run pays none of it.
+        The compile runs on the host/tunnel and overlaps chip compute from
+        other threads (measured: a full UNet program compiled in 191s while
+        the chip ran 83 other iterations, dev/probe_aot.py)."""
         params = params if params is not None else self.model.params
         # step buffers are donated (in-place update chain); copy once so the
         # caller's init latent stays valid
         latent = jnp.array(latent, copy=True)
         denoised = jnp.zeros_like(latent)
+
+        if warm_only:
+            seen = set()
+            for i, sp in enumerate(plan):
+                sig = (len(sp.origins), sp.context.shape, sp.earlier_mask is None)
+                if sig in seen:
+                    continue
+                seen.add(sig)
+                latent, denoised = self._step_fn(
+                    params, self.schedule, latent, denoised,
+                    jnp.asarray(sp.origins, jnp.int32),
+                    None if sp.earlier_mask is None else jnp.asarray(sp.earlier_mask),
+                    sp.context, uncond_context,
+                    jnp.asarray(sp.t, jnp.int32), jnp.asarray(sp.index, jnp.int32),
+                    jnp.asarray(0.0), jnp.asarray(0.0),
+                    jax.random.fold_in(key, i),
+                )
+            return latent, denoised
         from dynamicscaler_tpu.utils.timing import Marker
 
         _tm = Marker("planar")
