@@ -111,6 +111,23 @@ class CrossAttention(nn.Module):
                     heads=h, scale=scale, add_residual=add_residual,
                 )
 
+        if (
+            ln is not None
+            and context is not None
+            and mask is None
+            and not self.relative_position
+            and fused_spatial.cross_fusable(N, inner, Cq, h, ctx_dim)
+        ):
+            wk_ip = wv_ip = None
+            if use_img:
+                wk_ip, _ = ProjParams(ctx_dim, inner, name="to_k_ip")()
+                wv_ip, _ = ProjParams(ctx_dim, inner, name="to_v_ip")()
+            return fused_spatial.fused_ln_cross_attention(
+                x, context, ln[0], ln[1], wq, wk, wv, wo, bo,
+                wk_ip, wv_ip, heads=h, scale=scale,
+                text_len=self.text_context_len, add_residual=add_residual,
+            )
+
         x_res = x
         xn = layer_norm(x, ln[0], ln[1], dtype=dt) if ln is not None else x
         ctx = xn if context is None else context

@@ -169,6 +169,205 @@ def _fused_call(x, s, b, wq, wk, wv, wo, bo, *, heads, scale, eps,
     return out[:B] if pad else out
 
 
+def cross_fusable(n_tokens: int, inner: int, query_dim: int, heads: int,
+                  ctx_dim: int) -> bool:
+    """Gate for the fused cross-attention sub-block kernel: LN -> Q proj ->
+    dual text/image KV attention -> out-proj -> residual, weight-stationary
+    per grid block. All UNet cross-attention levels qualify (context is
+    77(+16) tokens — logits are tiny; the win is fusing the LN/projection
+    HBM round trips)."""
+    if _mode() == "off":
+        return False
+    if not (_mode() == "interpret" or fused_temporal._tpu_available()):
+        return False
+    return (
+        128 <= n_tokens <= 4096
+        and n_tokens % 16 == 0
+        and inner == query_dim
+        and inner % heads == 0
+        and inner <= 1280
+        and (inner // heads) % 8 == 0
+        and ctx_dim % 128 == 0
+    )
+
+
+def _cross_kernel(x_ref, ctx_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref,
+                  wki_ref, wvi_ref, wo_ref, bo_ref, o_ref,
+                  *, heads: int, scale: float, eps: float, text_len: int,
+                  has_img: bool, add_residual: bool):
+    TB, N, C = x_ref.shape
+    L = ctx_ref.shape[1]
+    d = C // heads
+    x = x_ref[:].reshape(TB * N, C)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * s_ref[:].astype(jnp.float32)
+    h = ((xf - mu) * mul + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = q.reshape(TB, N, C)
+
+    Dc = ctx_ref.shape[-1]
+    ctx_t = ctx_ref[:, :text_len, :].reshape(TB * text_len, Dc)
+    k = jnp.dot(ctx_t, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(ctx_t, wv_ref[:], preferred_element_type=jnp.float32)
+    k = k.astype(x.dtype).reshape(TB, text_len, C)
+    v = v.astype(x.dtype).reshape(TB, text_len, C)
+    if has_img:
+        li = L - text_len
+        ctx_i = ctx_ref[:, text_len:, :].reshape(TB * li, Dc)
+        ki = jnp.dot(ctx_i, wki_ref[:], preferred_element_type=jnp.float32)
+        vi = jnp.dot(ctx_i, wvi_ref[:], preferred_element_type=jnp.float32)
+        ki = ki.astype(x.dtype).reshape(TB, li, C)
+        vi = vi.astype(x.dtype).reshape(TB, li, C)
+
+    def attend(qh, kh, vh):
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            e.astype(qh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return oh / denom
+
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        oh = attend(q[..., sl], k[..., sl], v[..., sl])
+        if has_img:
+            # image_cross_attention_scale = 1.0 (attention.py:116-124)
+            oh = oh + attend(q[..., sl], ki[..., sl], vi[..., sl])
+        outs.append(oh.astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1).reshape(TB * N, C)
+
+    out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    out = out.astype(x.dtype)
+    if add_residual:
+        out = out + x
+    o_ref[:] = out.reshape(TB, N, C)
+
+
+def _cross_row_tile(N: int, C: int, L: int, itemsize: int) -> int:
+    budget = 24 * 1024 * 1024
+    per_row = N * C * 6 * itemsize + 2 * N * L * 4 + L * C * 4 * itemsize
+    return min(8, max(1, budget // per_row))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "eps", "text_len", "has_img",
+                     "add_residual", "interpret"),
+)
+def _fused_cross_call(x, ctx, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
+                      heads, scale, eps, text_len, has_img, add_residual,
+                      interpret):
+    B, N, C = x.shape
+    L, Dc = ctx.shape[1:]
+    TB = _cross_row_tile(N, C, L, x.dtype.itemsize)
+    pad = (-B) % TB
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        ctx = jnp.pad(ctx, ((0, pad), (0, 0), (0, 0)))
+    Bp = B + pad
+
+    x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((TB, L, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wq_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wk_spec = pl.BlockSpec((Dc, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    flops = (
+        4 * Bp * N * C * C  # q + out proj
+        + (8 if has_img else 4) * Bp * L * Dc * C  # kv projections
+        + 4 * Bp * N * L * C  # attention
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _cross_kernel, heads=heads, scale=scale, eps=eps,
+            text_len=text_len, has_img=has_img, add_residual=add_residual,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, C), x.dtype),
+        grid=(Bp // TB,),
+        in_specs=[x_spec, ctx_spec, vec_spec, vec_spec, wq_spec,
+                  wk_spec, wk_spec, wk_spec, wk_spec, wq_spec, vec_spec],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * Bp * N * C * 2 + Bp * L * Dc * 2
+            + (2 * C * C + 4 * L * Dc) * 2,
+            transcendentals=Bp * heads * N * L,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, ctx, s, b, wq, wk, wv, wki, wvi, wo, bo)
+    return out[:B] if pad else out
+
+
+def fused_ln_cross_attention(
+    x: jnp.ndarray,  # [B, N, C]
+    ctx: jnp.ndarray,  # [B, L, Dc] (text[:text_len] ; image[text_len:])
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wq: jnp.ndarray,  # [C, C]
+    wk: jnp.ndarray,  # [Dc, C]
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,  # [C, C]
+    bo: jnp.ndarray,
+    wk_ip: jnp.ndarray = None,  # [Dc, C] dual image-KV (attention.py:116-124)
+    wv_ip: jnp.ndarray = None,
+    *,
+    heads: int,
+    scale: float,
+    text_len: int = 77,
+    eps: float = 1e-5,
+    add_residual: bool = True,
+) -> jnp.ndarray:
+    """LayerNorm -> Q proj -> text (+image) cross-attention -> out-proj
+    [-> +x] as one Pallas kernel. Caller must have checked
+    ``cross_fusable``."""
+    B, N, C = x.shape
+    has_img = wk_ip is not None
+    if not has_img:
+        text_len = ctx.shape[1]
+        wk_ip = jnp.zeros_like(wk)
+        wv_ip = jnp.zeros_like(wv)
+    to2d = lambda t: t.reshape(1, C)
+    return _fused_cross_call(
+        x,
+        ctx.astype(x.dtype),
+        to2d(ln_scale.astype(jnp.float32)),
+        to2d(ln_bias.astype(jnp.float32)),
+        wq.astype(x.dtype),
+        wk.astype(x.dtype),
+        wv.astype(x.dtype),
+        wk_ip.astype(x.dtype),
+        wv_ip.astype(x.dtype),
+        wo.astype(x.dtype),
+        to2d(bo.astype(jnp.float32)),
+        heads=heads,
+        scale=float(scale),
+        eps=float(eps),
+        text_len=int(text_len),
+        has_img=has_img,
+        add_residual=add_residual,
+        interpret=_mode() == "interpret",
+    )
+
+
 def fused_ln_spatial_attention(
     x: jnp.ndarray,  # [B, N, C]
     ln_scale: jnp.ndarray,

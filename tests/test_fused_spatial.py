@@ -104,3 +104,36 @@ def test_gate_excludes_unsupported_shapes():
     assert not fused_spatial.fusable(512, 1280, 1280, 20)  # C>640
     assert fused_spatial.fusable(2560, 320, 320, 5)
     assert fused_spatial.fusable(640, 640, 640, 10)
+
+
+@pytest.mark.parametrize("img", [False, True])
+def test_cross_attention_fused_equals_unfused(rng, img):
+    """Module dispatch: fused cross-attention (interpret) == the unfused
+    path, dual image-KV included (lvdm attention.py:116-124)."""
+    mod = CrossAttention(
+        heads=2, dim_head=16, context_dim=128, img_cross_attention=img,
+        text_context_len=7, dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.standard_normal((3, 256, 32)).astype(np.float32)) * 0.5
+    L = 7 + (4 if img else 0)
+    ctx = jnp.asarray(rng.standard_normal((3, L, 128)).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(32).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(32).astype(np.float32))
+    params = mod.init(
+        jax.random.PRNGKey(0), x, context=ctx, ln=(s, b), add_residual=True
+    )
+
+    fused_temporal.set_mode("off")
+    ref = mod.apply(params, x, context=ctx, ln=(s, b), add_residual=True)
+    fused_temporal.set_mode("interpret")
+    assert fused_spatial.cross_fusable(256, 32, 32, 2, 128)
+    got = mod.apply(params, x, context=ctx, ln=(s, b), add_residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_cross_gate():
+    fused_temporal.set_mode("interpret")
+    assert fused_spatial.cross_fusable(2560, 320, 320, 5, 1024)
+    assert fused_spatial.cross_fusable(160, 1280, 1280, 20, 1024)
+    assert not fused_spatial.cross_fusable(40, 1280, 1280, 20, 1024)  # mid
+    assert not fused_spatial.cross_fusable(2560, 320, 320, 5, 100)  # ragged ctx
