@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -139,6 +141,76 @@ class Decoder(nn.Module):
         h = _gn("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
         h = nn.swish(h)
         return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+
+
+class DiagonalGaussianDistribution:
+    """Diagonal Gaussian over NHWC moments (lvdm/distributions.py:24-65).
+
+    The reference chunks on the channel axis (dim=1, NCHW); here moments are
+    channel-last so the split is on the final axis. ``kl``/``nll`` reduce
+    over all non-batch axes, matching the reference's dim=[1,2,3].
+    """
+
+    def __init__(self, parameters: jnp.ndarray, deterministic: bool = False):
+        self.parameters = parameters
+        mean, logvar = jnp.split(parameters, 2, axis=-1)
+        self.mean = mean
+        self.logvar = jnp.clip(logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        if deterministic:
+            self.std = self.var = jnp.zeros_like(mean)
+        else:
+            self.std = jnp.exp(0.5 * self.logvar)
+            self.var = jnp.exp(self.logvar)
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        return self.mean + self.std * jax.random.normal(
+            key, self.mean.shape, self.mean.dtype
+        )
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def _reduce_dims(self):
+        return tuple(range(1, self.mean.ndim))
+
+    def kl(self, other: "DiagonalGaussianDistribution" = None) -> jnp.ndarray:
+        if self.deterministic:
+            return jnp.zeros((self.mean.shape[0],), self.mean.dtype)
+        d = self._reduce_dims()
+        if other is None:
+            return 0.5 * jnp.sum(
+                self.mean**2 + self.var - 1.0 - self.logvar, axis=d
+            )
+        return 0.5 * jnp.sum(
+            (self.mean - other.mean) ** 2 / other.var
+            + self.var / other.var
+            - 1.0
+            - self.logvar
+            + other.logvar,
+            axis=d,
+        )
+
+    def nll(self, sample: jnp.ndarray, dims=None) -> jnp.ndarray:
+        if self.deterministic:
+            return jnp.zeros((self.mean.shape[0],), self.mean.dtype)
+        d = tuple(dims) if dims is not None else self._reduce_dims()
+        logtwopi = float(np.log(2.0 * np.pi))
+        return 0.5 * jnp.sum(
+            logtwopi + self.logvar + (sample - self.mean) ** 2 / self.var,
+            axis=d,
+        )
+
+
+class IdentityFirstStage:
+    """Pass-through first stage (lvdm/models/autoencoder.py:202-219): for
+    configs that diffuse in pixel space. encode/decode are identity."""
+
+    def encode(self, x, *a, **k):
+        return x
+
+    def decode(self, x, *a, **k):
+        return x
 
 
 class AutoencoderKL(nn.Module):

@@ -191,12 +191,18 @@ def cross_fusable(n_tokens: int, inner: int, query_dim: int, heads: int,
     )
 
 
-def _cross_kernel(x_ref, ctx_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref,
-                  wki_ref, wvi_ref, wo_ref, bo_ref, o_ref,
+def _seg16(n: int) -> int:
+    """Sublane-aligned segment length (bf16 tile sublane = 16). Mosaic
+    cannot shape-cast [TB*L, Dc] <-> [TB, L, Dc] unless L % 16 == 0 —
+    the 77-token text segment must be zero-padded and key-masked."""
+    return max(16, -(-n // 16) * 16)
+
+
+def _cross_kernel(x_ref, ctxt_ref, ctxi_ref, s_ref, b_ref, wq_ref, wk_ref,
+                  wv_ref, wki_ref, wvi_ref, wo_ref, bo_ref, o_ref,
                   *, heads: int, scale: float, eps: float, text_len: int,
-                  has_img: bool, add_residual: bool):
+                  img_len: int, has_img: bool, add_residual: bool):
     TB, N, C = x_ref.shape
-    L = ctx_ref.shape[1]
     d = C // heads
     x = x_ref[:].reshape(TB * N, C)
 
@@ -210,25 +216,33 @@ def _cross_kernel(x_ref, ctx_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref,
     q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
     q = q.reshape(TB, N, C)
 
-    Dc = ctx_ref.shape[-1]
-    ctx_t = ctx_ref[:, :text_len, :].reshape(TB * text_len, Dc)
+    Lt, Dc = ctxt_ref.shape[1:]
+    ctx_t = ctxt_ref[:].reshape(TB * Lt, Dc)
     k = jnp.dot(ctx_t, wk_ref[:], preferred_element_type=jnp.float32)
     v = jnp.dot(ctx_t, wv_ref[:], preferred_element_type=jnp.float32)
-    k = k.astype(x.dtype).reshape(TB, text_len, C)
-    v = v.astype(x.dtype).reshape(TB, text_len, C)
+    k = k.astype(x.dtype).reshape(TB, Lt, C)
+    v = v.astype(x.dtype).reshape(TB, Lt, C)
+    # compile-time -inf mask on the zero-padded key columns
+    tmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Lt), 2) < text_len, 0.0, -1e30
+    ).astype(jnp.float32)
     if has_img:
-        li = L - text_len
-        ctx_i = ctx_ref[:, text_len:, :].reshape(TB * li, Dc)
+        Li = ctxi_ref.shape[1]
+        ctx_i = ctxi_ref[:].reshape(TB * Li, Dc)
         ki = jnp.dot(ctx_i, wki_ref[:], preferred_element_type=jnp.float32)
         vi = jnp.dot(ctx_i, wvi_ref[:], preferred_element_type=jnp.float32)
-        ki = ki.astype(x.dtype).reshape(TB, li, C)
-        vi = vi.astype(x.dtype).reshape(TB, li, C)
+        ki = ki.astype(x.dtype).reshape(TB, Li, C)
+        vi = vi.astype(x.dtype).reshape(TB, Li, C)
+        imask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, Li), 2) < img_len,
+            0.0, -1e30,
+        ).astype(jnp.float32)
 
-    def attend(qh, kh, vh):
+    def attend(qh, kh, vh, mask):
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * scale + mask
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -241,10 +255,10 @@ def _cross_kernel(x_ref, ctx_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref,
     outs = []
     for hh in range(heads):
         sl = slice(hh * d, (hh + 1) * d)
-        oh = attend(q[..., sl], k[..., sl], v[..., sl])
+        oh = attend(q[..., sl], k[..., sl], v[..., sl], tmask)
         if has_img:
             # image_cross_attention_scale = 1.0 (attention.py:116-124)
-            oh = oh + attend(q[..., sl], ki[..., sl], vi[..., sl])
+            oh = oh + attend(q[..., sl], ki[..., sl], vi[..., sl], imask)
         outs.append(oh.astype(x.dtype))
     o = jnp.concatenate(outs, axis=-1).reshape(TB * N, C)
 
@@ -264,46 +278,51 @@ def _cross_row_tile(N: int, C: int, L: int, itemsize: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "eps", "text_len", "has_img",
-                     "add_residual", "interpret"),
+    static_argnames=("heads", "scale", "eps", "text_len", "img_len",
+                     "has_img", "add_residual", "interpret"),
 )
-def _fused_cross_call(x, ctx, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
-                      heads, scale, eps, text_len, has_img, add_residual,
-                      interpret):
+def _fused_cross_call(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
+                      heads, scale, eps, text_len, img_len, has_img,
+                      add_residual, interpret):
     B, N, C = x.shape
-    L, Dc = ctx.shape[1:]
-    TB = _cross_row_tile(N, C, L, x.dtype.itemsize)
+    Lt, Dc = ctx_t.shape[1:]
+    Li = ctx_i.shape[1]
+    TB = _cross_row_tile(N, C, Lt + Li, x.dtype.itemsize)
     pad = (-B) % TB
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-        ctx = jnp.pad(ctx, ((0, pad), (0, 0), (0, 0)))
+        ctx_t = jnp.pad(ctx_t, ((0, pad), (0, 0), (0, 0)))
+        ctx_i = jnp.pad(ctx_i, ((0, pad), (0, 0), (0, 0)))
     Bp = B + pad
 
     x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    ctx_spec = pl.BlockSpec((TB, L, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ctxt_spec = pl.BlockSpec((TB, Lt, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ctxi_spec = pl.BlockSpec((TB, Li, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     wq_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
     wk_spec = pl.BlockSpec((Dc, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    L = Lt + (Li if has_img else 0)
     flops = (
         4 * Bp * N * C * C  # q + out proj
-        + (8 if has_img else 4) * Bp * L * Dc * C  # kv projections
+        + (8 if has_img else 4) * Bp * Lt * Dc * C  # kv projections
         + 4 * Bp * N * L * C  # attention
     )
     out = pl.pallas_call(
         functools.partial(
             _cross_kernel, heads=heads, scale=scale, eps=eps,
-            text_len=text_len, has_img=has_img, add_residual=add_residual,
+            text_len=text_len, img_len=img_len, has_img=has_img,
+            add_residual=add_residual,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, N, C), x.dtype),
         grid=(Bp // TB,),
-        in_specs=[x_spec, ctx_spec, vec_spec, vec_spec, wq_spec,
+        in_specs=[x_spec, ctxt_spec, ctxi_spec, vec_spec, vec_spec, wq_spec,
                   wk_spec, wk_spec, wk_spec, wk_spec, wq_spec, vec_spec],
         out_specs=x_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * Bp * N * C * 2 + Bp * L * Dc * 2
-            + (2 * C * C + 4 * L * Dc) * 2,
+            + (2 * C * C + 4 * Dc * C) * 2,
             transcendentals=Bp * heads * N * L,
         ),
         compiler_params=None
@@ -313,7 +332,7 @@ def _fused_cross_call(x, ctx, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, ctx, s, b, wq, wk, wv, wki, wvi, wo, bo)
+    )(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo)
     return out[:B] if pad else out
 
 
@@ -338,17 +357,34 @@ def fused_ln_cross_attention(
 ) -> jnp.ndarray:
     """LayerNorm -> Q proj -> text (+image) cross-attention -> out-proj
     [-> +x] as one Pallas kernel. Caller must have checked
-    ``cross_fusable``."""
+    ``cross_fusable``.
+
+    The text and image context segments are passed to the kernel as
+    separate operands, each zero-padded to a sublane-aligned length
+    (Mosaic rejects the [TB, 77, Dc] shape cast) with the padded key
+    columns masked out of their softmax."""
     B, N, C = x.shape
     has_img = wk_ip is not None
+    ctx = ctx.astype(x.dtype)
     if not has_img:
         text_len = ctx.shape[1]
         wk_ip = jnp.zeros_like(wk)
         wv_ip = jnp.zeros_like(wv)
+        ctx_t, img_len = ctx, 0
+        ctx_i = jnp.zeros((B, 16, ctx.shape[-1]), ctx.dtype)
+    else:
+        ctx_t = ctx[:, :text_len]
+        ctx_i = ctx[:, text_len:]
+        img_len = ctx_i.shape[1]
+        ctx_i = jnp.pad(ctx_i, ((0, 0), (0, _seg16(img_len) - img_len), (0, 0)))
+    ctx_t = jnp.pad(
+        ctx_t, ((0, 0), (0, _seg16(text_len) - ctx_t.shape[1]), (0, 0))
+    )
     to2d = lambda t: t.reshape(1, C)
     return _fused_cross_call(
         x,
-        ctx.astype(x.dtype),
+        ctx_t,
+        ctx_i,
         to2d(ln_scale.astype(jnp.float32)),
         to2d(ln_bias.astype(jnp.float32)),
         wq.astype(x.dtype),
@@ -362,6 +398,7 @@ def fused_ln_cross_attention(
         scale=float(scale),
         eps=float(eps),
         text_len=int(text_len),
+        img_len=int(img_len),
         has_img=has_img,
         add_residual=add_residual,
         interpret=_mode() == "interpret",

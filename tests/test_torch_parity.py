@@ -341,3 +341,46 @@ def test_ema_shadow_fallback(torch_unet):
         ),
         got2, ref_tree,
     )
+
+
+def test_diagonal_gaussian_distribution_parity():
+    """kl / nll / mode / sample vs the reference DiagonalGaussianDistribution
+    (lvdm/distributions.py:24-65). Reference chunks NCHW dim=1; ours splits
+    the channel-last axis — transposed moments must agree."""
+    from lvdm.distributions import DiagonalGaussianDistribution as TorchDGD
+    from dynamicscaler_tpu.models.vae import DiagonalGaussianDistribution
+
+    rng = np.random.RandomState(3)
+    m_nchw = rng.standard_normal((2, 8, 5, 6)).astype(np.float32)  # 2*C=8
+    m_nhwc = np.transpose(m_nchw, (0, 2, 3, 1))
+
+    tref = TorchDGD(torch.from_numpy(m_nchw))
+    ours = DiagonalGaussianDistribution(jnp.asarray(m_nhwc))
+
+    np.testing.assert_allclose(
+        np.asarray(ours.mode()), np.transpose(tref.mode().numpy(), (0, 2, 3, 1)),
+        atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.kl()), tref.kl().numpy(), rtol=2e-5)
+
+    other_nchw = rng.standard_normal((2, 8, 5, 6)).astype(np.float32)
+    t2 = TorchDGD(torch.from_numpy(other_nchw))
+    o2 = DiagonalGaussianDistribution(jnp.asarray(np.transpose(other_nchw, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(ours.kl(o2)), tref.kl(t2).numpy(), rtol=2e-5)
+
+    sample_nchw = rng.standard_normal((2, 4, 5, 6)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.nll(jnp.asarray(np.transpose(sample_nchw, (0, 2, 3, 1))))),
+        tref.nll(torch.from_numpy(sample_nchw)).numpy(), rtol=2e-5)
+
+    # deterministic: kl/nll are zeros, sample == mode
+    det = DiagonalGaussianDistribution(jnp.asarray(m_nhwc), deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det.kl()), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(det.sample(jax.random.PRNGKey(0))), np.asarray(det.mode()))
+
+    # keyed sampling reproduces mean + std * noise
+    key = jax.random.PRNGKey(7)
+    noise = jax.random.normal(key, ours.mean.shape, ours.mean.dtype)
+    np.testing.assert_allclose(
+        np.asarray(ours.sample(key)),
+        np.asarray(ours.mean + ours.std * noise), atol=1e-6)
