@@ -6,6 +6,8 @@ axon per-call floor. B=8 (CFG-packed window batch 4x2) at the native
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python dev/ablate_unet.py [variant...]
 Variants: full full_nofused no_tattn no_tconv convs_only
+          no_k_temporal no_k_spatial no_k_cross no_k_ff (disable one
+          fused-kernel class, everything else on)
 """
 
 import dataclasses
@@ -29,7 +31,7 @@ K_LO, K_HI = 1, 3
 
 def variant_cfg(name):
     cfg = videocrafter_i2v(dtype="bfloat16").unet
-    if name in ("full", "full_nofused"):
+    if name in ("full", "full_nofused") or name.startswith("no_k_"):
         return cfg
     if name == "no_tattn":
         return dataclasses.replace(cfg, temporal_attention=False)
@@ -44,6 +46,11 @@ def variant_cfg(name):
 
 def measure(name):
     fused_temporal.set_mode("off" if name == "full_nofused" else "auto")
+    # no_k_<kind>: full model with ONE fused-kernel class disabled
+    # (kind in temporal/spatial/cross/ff) — attributes time per kernel
+    fused_temporal._DISABLED = (
+        frozenset([name[5:]]) if name.startswith("no_k_") else frozenset()
+    )
     ucfg = variant_cfg(name)
     unet = UNet3D(ucfg, dtype=jnp.bfloat16)
     L = ucfg.text_context_len + 16

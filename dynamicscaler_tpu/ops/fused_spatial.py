@@ -48,7 +48,7 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
     and XLA's row-batched matmuls already run at ~103 TFLOP/s, so small-N /
     wide-C levels (L3, mid block) stay on XLA.
     """
-    if _mode() == "off":
+    if _mode() == "off" or fused_temporal.kernel_disabled("spatial"):
         return False
     if not (_mode() == "interpret" or fused_temporal._tpu_available()):
         return False
@@ -176,7 +176,7 @@ def cross_fusable(n_tokens: int, inner: int, query_dim: int, heads: int,
     per grid block. All UNet cross-attention levels qualify (context is
     77(+16) tokens — logits are tiny; the win is fusing the LN/projection
     HBM round trips)."""
-    if _mode() == "off":
+    if _mode() == "off" or fused_temporal.kernel_disabled("cross"):
         return False
     if not (_mode() == "interpret" or fused_temporal._tpu_available()):
         return False

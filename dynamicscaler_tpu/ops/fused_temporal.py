@@ -43,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MODE = os.environ.get("DSCALER_FUSED_TEMPORAL", "auto")  # auto | off | interpret
 
+# per-kernel-class kill switch for ablation: comma list out of
+# {temporal, spatial, cross, ff}; e.g. DSCALER_FUSE_DISABLE=cross,ff
+_DISABLED = frozenset(
+    k for k in os.environ.get("DSCALER_FUSE_DISABLE", "").split(",") if k
+)
+
 
 def set_mode(mode: str) -> None:
     """auto: Pallas kernel on TPU; off: never; interpret: kernel in
@@ -54,6 +60,10 @@ def set_mode(mode: str) -> None:
 
 def mode() -> str:
     return _MODE
+
+
+def kernel_disabled(kind: str) -> bool:
+    return kind in _DISABLED
 
 
 def _tpu_available() -> bool:
@@ -71,7 +81,7 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
     C <= 1280 so the four weight matrices + tiles fit VMEM (~21.5 MB at
     C=1280/TR=32; measured 7.3 -> 3.6 ms vs XLA at the L3 shape).
     """
-    if _MODE == "off":
+    if _MODE == "off" or kernel_disabled("temporal"):
         return False
     if not (_MODE == "interpret" or _tpu_available()):
         return False
@@ -287,7 +297,7 @@ def _fused_ff_call(x2d, s, b, w1, b1, w2, b2, *, eps, add_residual, interpret):
 
 
 def ff_fusable(dim: int) -> bool:
-    if _MODE == "off":
+    if _MODE == "off" or kernel_disabled("ff"):
         return False
     if not (_MODE == "interpret" or _tpu_available()):
         return False
