@@ -65,4 +65,30 @@ for B, N, C, heads in SHAPES:
           f"out std {out.astype(np.float32).std():.3f}")
     assert rel < 0.05, "kernel vs XLA oracle mismatch"
 
+# text-only variant (t2v model): no image context / image-KV operands
+B, N, C, heads = 64, 640, 640, 10
+rng = np.random.RandomState(1)
+mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+x = mk(B, N, C).astype(jnp.bfloat16)
+ctx = mk(B, TEXT, DC).astype(jnp.bfloat16)
+s, b = mk(C) + 1.0, mk(C)
+wq, wk, wv, wo, bo = mk(C, C), mk(DC, C), mk(DC, C), mk(C, C), mk(C)
+scale = (C // heads) ** -0.5
+out = np.asarray(fused_spatial.fused_ln_cross_attention(
+    x, ctx, s, b, wq, wk, wv, wo, bo, heads=heads, scale=scale))
+xf = np.asarray(x, np.float32)
+h = ((xf - xf.mean(-1, keepdims=True)) / np.sqrt(xf.var(-1, keepdims=True) + 1e-5)
+     * np.asarray(s) + np.asarray(b))
+h = jnp.asarray(h, jnp.bfloat16)
+q = (h @ wq.astype(jnp.bfloat16)).reshape(B, N, heads, C // heads)
+k = (ctx @ wk.astype(jnp.bfloat16)).reshape(B, TEXT, heads, C // heads)
+v = (ctx @ wv.astype(jnp.bfloat16)).reshape(B, TEXT, heads, C // heads)
+lg = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+p = jax.nn.softmax(lg, -1).astype(jnp.bfloat16)
+o = jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(B, N, C)
+ref = np.asarray(o @ wo.astype(jnp.bfloat16) + bo.astype(jnp.bfloat16) + x, np.float32)
+rel = np.abs(out.astype(np.float32) - ref).max() / np.abs(ref).max()
+print(f"text-only N={N} C={C}: rel err {rel:.4f}")
+assert rel < 0.05
+
 print("SMOKE OK: cross kernel compiles and matches on TPU at all levels")

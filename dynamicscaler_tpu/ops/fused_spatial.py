@@ -198,10 +198,16 @@ def _seg16(n: int) -> int:
     return max(16, -(-n // 16) * 16)
 
 
-def _cross_kernel(x_ref, ctxt_ref, ctxi_ref, s_ref, b_ref, wq_ref, wk_ref,
-                  wv_ref, wki_ref, wvi_ref, wo_ref, bo_ref, o_ref,
-                  *, heads: int, scale: float, eps: float, text_len: int,
+def _cross_kernel(*refs, heads: int, scale: float, eps: float, text_len: int,
                   img_len: int, has_img: bool, add_residual: bool):
+    # operand list depends on has_img: the text-only variant carries no
+    # image context / image-KV weights at all (5MB VMEM at C=1280)
+    if has_img:
+        (x_ref, ctxt_ref, ctxi_ref, s_ref, b_ref, wq_ref, wk_ref,
+         wv_ref, wki_ref, wvi_ref, wo_ref, bo_ref, o_ref) = refs
+    else:
+        (x_ref, ctxt_ref, s_ref, b_ref, wq_ref, wk_ref,
+         wv_ref, wo_ref, bo_ref, o_ref) = refs
     TB, N, C = x_ref.shape
     d = C // heads
     x = x_ref[:].reshape(TB * N, C)
@@ -286,23 +292,35 @@ def _fused_cross_call(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
                       add_residual, interpret):
     B, N, C = x.shape
     Lt, Dc = ctx_t.shape[1:]
-    Li = ctx_i.shape[1]
+    Li = ctx_i.shape[1] if has_img else 0
     TB = _cross_row_tile(N, C, Lt + Li, x.dtype.itemsize)
     pad = (-B) % TB
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
         ctx_t = jnp.pad(ctx_t, ((0, pad), (0, 0), (0, 0)))
-        ctx_i = jnp.pad(ctx_i, ((0, pad), (0, 0), (0, 0)))
+        if has_img:
+            ctx_i = jnp.pad(ctx_i, ((0, pad), (0, 0), (0, 0)))
     Bp = B + pad
 
     x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ctxt_spec = pl.BlockSpec((TB, Lt, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    ctxi_spec = pl.BlockSpec((TB, Li, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     wq_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
     wk_spec = pl.BlockSpec((Dc, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    L = Lt + (Li if has_img else 0)
+    if has_img:
+        ctxi_spec = pl.BlockSpec(
+            (TB, Li, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [x_spec, ctxt_spec, ctxi_spec, vec_spec, vec_spec, wq_spec,
+                    wk_spec, wk_spec, wk_spec, wk_spec, wq_spec, vec_spec]
+        operands = (x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo)
+    else:
+        in_specs = [x_spec, ctxt_spec, vec_spec, vec_spec, wq_spec,
+                    wk_spec, wk_spec, wq_spec, vec_spec]
+        operands = (x, ctx_t, s, b, wq, wk, wv, wo, bo)
+
+    L = Lt + Li
     flops = (
         4 * Bp * N * C * C  # q + out proj
         + (8 if has_img else 4) * Bp * Lt * Dc * C  # kv projections
@@ -316,8 +334,7 @@ def _fused_cross_call(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, N, C), x.dtype),
         grid=(Bp // TB,),
-        in_specs=[x_spec, ctxt_spec, ctxi_spec, vec_spec, vec_spec, wq_spec,
-                  wk_spec, wk_spec, wk_spec, wk_spec, wq_spec, vec_spec],
+        in_specs=in_specs,
         out_specs=x_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -332,7 +349,7 @@ def _fused_cross_call(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo, *,
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, ctx_t, ctx_i, s, b, wq, wk, wv, wki, wvi, wo, bo)
+    )(*operands)
     return out[:B] if pad else out
 
 
@@ -368,10 +385,12 @@ def fused_ln_cross_attention(
     ctx = ctx.astype(x.dtype)
     if not has_img:
         text_len = ctx.shape[1]
-        wk_ip = jnp.zeros_like(wk)
-        wv_ip = jnp.zeros_like(wv)
+        # placeholders for the jit signature — DCE'd (has_img=False variant
+        # never loads image context / image-KV weights into VMEM)
+        wk_ip = jnp.zeros((1, 1), wk.dtype)
+        wv_ip = jnp.zeros((1, 1), wv.dtype)
         ctx_t, img_len = ctx, 0
-        ctx_i = jnp.zeros((B, 16, ctx.shape[-1]), ctx.dtype)
+        ctx_i = jnp.zeros((1, 1, 1), ctx.dtype)
     else:
         ctx_t = ctx[:, :text_len]
         ctx_i = ctx[:, text_len:]
