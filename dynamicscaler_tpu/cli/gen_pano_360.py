@@ -95,6 +95,9 @@ class VArgs:
     # while stage 1 computes (compiles ride the host/tunnel and overlap chip
     # work — dev/probe_aot.py measurement). ~200s wall-clock on one v5e.
     aot_warm: bool = True
+    # dev: run ONLY the stage-2/3 warm-only program loads ("2", "3" or "23")
+    # synchronously and exit — isolates warm-load cost from stage contention
+    warm_probe: str = ""
     profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
     dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
     dev_full_random: bool = False  # full-size constant-weight model (perf, no assets)
@@ -257,17 +260,19 @@ def main(vargs: VArgs):
     # ---- AOT warm: stage-2/3 programs compile while stage 1 computes ------
     warm_thread = None
     run_stage2 = not (vargs.skip_1x or vargs.predenoised_SW_1x_latent_path)
-    if vargs.aot_warm and not vargs.predenoised_SP_latent_path and (
-        run_stage2 or vargs.do_upscale
+    if vargs.warm_probe or (
+        vargs.aot_warm and not vargs.predenoised_SP_latent_path and (
+            run_stage2 or vargs.do_upscale
+        )
     ):
         import threading
 
         uf = vargs.upscale_factor
 
-        def _warm():
+        def _warm(do2=True, do3=True):
             try:
                 pano_w = load_image(vargs.pano_image_path, eq_h, eq_w)
-                if run_stage2:
+                if run_stage2 and do2:
                     i2v.sample_shift_multi_windows(
                         model, vargs.prompt, pano_w,
                         total_w=eq_w, total_h=eq_h,
@@ -285,8 +290,9 @@ def main(vargs: VArgs):
                         key=jax.random.fold_in(key, 92), decode=True,
                         warm_only=True, **common,
                     )
-                    print("[aot_warm] stage-2 programs ready", flush=True)
-                if vargs.do_upscale:
+                    print(f"[aot_warm] stage-2 programs ready"
+                          f" ({time.time() - t_start:.1f}s)", flush=True)
+                if vargs.do_upscale and do3:
                     pano_w2 = load_image(vargs.pano_image_path, eq_h * uf, eq_w * uf)
                     i2v.sample_shift_multi_windows(
                         model, vargs.prompt, pano_w2,
@@ -305,11 +311,21 @@ def main(vargs: VArgs):
                         key=jax.random.fold_in(key, 93), decode=True,
                         warm_only=True, **common,
                     )
-                    print("[aot_warm] stage-3 programs ready", flush=True)
+                    print(f"[aot_warm] stage-3 programs ready"
+                          f" ({time.time() - t_start:.1f}s)", flush=True)
             except Exception as e:  # warm is best-effort; stages still work
                 print(f"[aot_warm] failed (stages will compile inline): {e!r}",
                       flush=True)
 
+        if vargs.warm_probe:
+            import faulthandler
+
+            faulthandler.dump_traceback_later(60, repeat=True)
+            t0 = time.time()
+            _warm(do2="2" in vargs.warm_probe, do3="3" in vargs.warm_probe)
+            print(f"[warm_probe] {vargs.warm_probe} done in "
+                  f"{time.time() - t0:.1f}s", flush=True)
+            return
         warm_thread = threading.Thread(target=_warm, daemon=True, name="aot_warm")
         warm_thread.start()
 

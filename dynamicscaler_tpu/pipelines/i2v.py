@@ -381,12 +381,13 @@ def sample_shift_multi_windows(
     else:
         latent = jnp.asarray(init_panorama_latent)
 
+    _tm.mark("init latent", block=latent if _tm.on else None)
+
     # ---- step plan ---------------------------------------------------------
     if overlap_ratio_list_f is None:
         overlap_ratio_list_f = [0.25] * S
     steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
     plan: List[StepPlan] = []
-    ctx_cache: dict = {}
     for i in range(steps_eff):
         index = steps_eff - 1 - i  # == full-table index (see module docs)
         phase = (i + begin_index_offset) % loop_step
@@ -395,10 +396,12 @@ def sample_shift_multi_windows(
             i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
         )
         origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
-        ck = (phase, len(f_origins))
-        if ck not in ctx_cache:
-            ctx_cache[ck] = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
-        ctx = ctx_cache[ck]
+        # the UNTILED per-spatial-window conds: the step program tiles to
+        # the full window count internally (planar._window_step) — a host
+        # jnp.tile per (phase, nf) combo would create ~32 tiny XLA
+        # programs whose remote round trips cost 0.4-12s EACH through the
+        # axon tunnel (measured: this loop alone stalled 408s)
+        ctx = phase_ctx[phase]
         last = i == steps_eff - 1
         plan.append(
             StepPlan(
@@ -416,7 +419,7 @@ def sample_shift_multi_windows(
             )
         )
 
-    _tm.mark("init latent + plan", block=latent if _tm.on else None)
+    _tm.mark("plan built")
 
     engine = PlanarShiftWindowEngine(
         model, sched, (frames, wh, ww),
@@ -428,6 +431,7 @@ def sample_shift_multi_windows(
 
     if warm_only:
         engine.run(latent, plan, uncond, k_run, params=params, warm_only=True)
+        _tm.mark("warm_only: step programs")
         if decode:
             # one dummy decode tile loads the VAE program (same jit object,
             # model._jit_vae_decode, as the real ring decode)

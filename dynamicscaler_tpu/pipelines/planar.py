@@ -172,6 +172,9 @@ class PlanarShiftWindowEngine:
         denoised = jnp.zeros_like(latent)
 
         if warm_only:
+            from dynamicscaler_tpu.utils.timing import Marker
+
+            _wm = Marker("planar-warm")
             seen = set()
             for i, sp in enumerate(plan):
                 sig = (len(sp.origins), sp.context.shape, sp.earlier_mask is None)
@@ -187,6 +190,7 @@ class PlanarShiftWindowEngine:
                     jnp.asarray(0.0), jnp.asarray(0.0),
                     jax.random.fold_in(key, i),
                 )
+                _wm.lap(f"sig {sig}", block=latent if _wm.on else None)
             return latent, denoised
         from dynamicscaler_tpu.utils.timing import Marker
 
@@ -245,6 +249,15 @@ def _window_step(
     denoised_buf = constrain_latent(denoised_buf, mesh)
 
     N = origins.shape[0]
+    # context may arrive as one base block [N_base, L, D] with N_base
+    # dividing N (frame-window repeats of per-spatial-window conds, or a
+    # single shared prompt): tile to N INSIDE the program. Tiling here
+    # instead of in the host plan loop keeps the setup path free of tiny
+    # per-shape XLA programs + transfers — each costs a remote round trip
+    # through the axon tunnel (0.4-12s apiece; see pipelines/i2v.py).
+    # Origins order is spatial-fastest per frame block, matching tile().
+    if context.shape[0] != N:
+        context = jnp.tile(context, (N // context.shape[0], 1, 1))
     fs, hs, ws = sizes
     frame_idx = jnp.full((fs,), index, jnp.int32)
 

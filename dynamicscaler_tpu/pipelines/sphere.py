@@ -306,6 +306,17 @@ def _sphere_step(
     get_scale: int = 1,
     set_scale: int = 1,
 ):
+    # context may arrive as the UNTILED per-view conds [Nv, L, D]: tile to
+    # the full (frame-window x view) pair count INSIDE the program (pair
+    # order is view-fastest per frame block, matching tile) — host-side
+    # per-(phase, nf) tiles would each be a tiny XLA program / transfer
+    # whose remote tunnel round trips cost 0.4-12s apiece (see
+    # pipelines/i2v.py plan loop).
+    if context.shape[0] != pair_view.shape[0]:
+        context = jnp.tile(
+            context, (pair_view.shape[0] // context.shape[0], 1, 1)
+        )
+
     if mode == "sequential":
         return _sphere_step_sequential(
             params, schedule, latent, denoised_buf, static_clean,
@@ -710,7 +721,8 @@ def sample_shift_sphere_panorama(
         Nv = len(views)
         pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
         pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
-        ctx = jnp.tile(phase_ctx[phase], (len(f_origins), 1, 1))
+        # untiled per-view conds; _sphere_step tiles to the pair count
+        ctx = phase_ctx[phase]
         last = i == steps_eff - 1
         use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last
         use_mp = (merge_prev_denoised_ratio_list is not None) and not last

@@ -250,7 +250,10 @@ def sample_shift_multi_windows(
                 t=int(sched.ddim_timesteps[S - 1 - i]),
                 index=S - 1 - i,
                 origins=origins,
-                context=jnp.broadcast_to(context, (len(origins),) + context.shape[1:]),
+                # base [1, L, D]; the step program tiles to len(origins)
+                # internally (planar._window_step — avoids per-shape host
+                # broadcast programs through the remote tunnel)
+                context=context,
                 earlier_mask=None,  # generated on-device inside the step
                 renoise_ratio=None if last else merge_renoised_overlap_latent_ratio,
                 merge_prev_ratio=None

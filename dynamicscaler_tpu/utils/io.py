@@ -104,16 +104,29 @@ def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int =
             with ThreadPoolExecutor(max_workers=8) as pool:
                 list(pool.map(_write, enumerate(frames)))
     if save_gif:
-        gif_frames = frames
-        if frames and frames[0].shape[1] > gif_max_width:
-            scale = gif_max_width / frames[0].shape[1]
-            gh = int(frames[0].shape[0] * scale)
-            gif_frames = [
-                np.asarray(Image.fromarray(fr).resize((gif_max_width, gh), Image.BILINEAR))
-                for fr in frames
-            ]
+        # resize + palette-quantize per frame on a thread pool (PIL releases
+        # the GIL), then assemble with PIL directly — imageio's writer
+        # quantizes serially (~20-30s for 16 1024-wide frames)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _prep(fr):
+            im = Image.fromarray(fr)
+            if im.width > gif_max_width:
+                im = im.resize(
+                    (gif_max_width, int(im.height * gif_max_width / im.width)),
+                    Image.BILINEAR,
+                )
+            # FASTOCTREE is O(pixels); MEDIANCUT histograms every distinct
+            # color (minutes on high-entropy frames)
+            return im.quantize(colors=256, method=Image.FASTOCTREE)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            gif_frames = list(pool.map(_prep, frames))
         gif = os.path.join(output_path, f"{output_name}.gif")
-        imageio.mimsave(gif, gif_frames, duration=1000.0 / fps, loop=0)
+        gif_frames[0].save(
+            gif, save_all=True, append_images=gif_frames[1:],
+            duration=int(1000.0 / fps), loop=0,
+        )
         saved = saved or gif
     return saved
 
