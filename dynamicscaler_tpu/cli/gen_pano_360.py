@@ -155,6 +155,12 @@ def _enable_cache():
 
 
 def main(vargs: VArgs):
+    if os.environ.get("DSCALER_DUMP_STACKS"):
+        import faulthandler
+
+        faulthandler.dump_traceback_later(
+            int(os.environ["DSCALER_DUMP_STACKS"]), repeat=True
+        )
     _enable_cache()
     import jax
     import jax.numpy as jnp

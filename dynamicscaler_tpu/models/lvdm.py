@@ -57,14 +57,24 @@ class LatentVideoDiffusion:
             lambda p, toks: self.text_encoder.apply(p["clip_text"], toks)
         )
         if self.image_encoder is not None:
-            self._jit_img = jax.jit(
-                lambda p, imgs: self.resampler.apply(
+            def _img_one(p, imgs):
+                return self.resampler.apply(
                     p["resampler"],
                     self.image_encoder.apply(
                         p["clip_vision"],
                         clip_preprocess(imgs, self.config.clip_vision.image_size),
                     ),
                 )
+
+            self._jit_img = jax.jit(_img_one)
+            self._jit_img_chunked = jax.jit(
+                lambda p, imgs, mb: jax.lax.map(
+                    lambda ch: _img_one(p, ch),
+                    imgs.reshape((-1, mb) + imgs.shape[1:]),
+                ).reshape((imgs.shape[0],) + (
+                    self.config.resampler.num_queries, self.config.resampler.output_dim,
+                )),
+                static_argnums=(2,),
             )
         self._jit_vae_encode = jax.jit(
             lambda p, x: self.vae.apply(p["vae"], x, None, method=AutoencoderKL.encode)
@@ -178,12 +188,20 @@ class LatentVideoDiffusion:
         assert self.tokenizer is not None, "no tokenizer configured"
         return self.encode_text_tokens(self.tokenizer(texts), params=params)
 
-    def encode_image_cond(self, images, params=None):
+    def encode_image_cond(self, images, params=None, microbatch: int = 32):
         """[-1,1] NHWC image(s) -> [B, num_queries, 1024] projector tokens
-        (ddpm3d.py:689-693: embedder -> image_proj_model)."""
+        (ddpm3d.py:689-693: embedder -> image_proj_model).
+
+        Large batches (the all-phases conditioning banks can reach 256
+        crops) run as ONE program with an in-program ``lax.map`` over
+        ``microbatch``-sized chunks: bounded activation memory, still a
+        single remote program load."""
         p = params if params is not None else self.params
         assert self.image_encoder is not None, "t2v config has no image encoder"
-        return self._jit_img(p, images)
+        B = images.shape[0]
+        if B <= microbatch or B % microbatch:
+            return self._jit_img(p, images)
+        return self._jit_img_chunked(p, images, microbatch)
 
     def encode_video(self, video, key: Optional[jax.Array] = None, params=None):
         """[B, F, H, W, 3] in [-1,1] -> scaled latents [B, F, h, w, zc].

@@ -49,6 +49,18 @@ def ring_crop_image(image: np.ndarray, top: int, left: int, h: int, w: int) -> n
     return image[np.ix_(hi, wi)]
 
 
+# conditioning memo for repeated same-arg sampler calls (aot_warm + real
+# stage in gen_pano_360); small LRU, entries pin model/params via identity
+_COND_CACHE: dict = {}
+
+
+def _image_digest(img) -> str:
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(img))
+    return hashlib.md5(a.tobytes()).hexdigest() + f":{a.shape}"
+
+
 def _phase_contexts(
     model: LatentVideoDiffusion,
     grid: PlanarGrid,
@@ -59,14 +71,21 @@ def _phase_contexts(
     view_width: int,
     text_cache: dict,
     params=None,
-) -> List[jnp.ndarray]:
-    """Per-phase [N_spatial, L, D] context arrays (text + image crop)."""
+) -> Tuple[jnp.ndarray, List[np.ndarray]]:
+    """All-phases context bank + per-phase row ids.
+
+    Returns ``(bank [V_total, L, D], ids)`` with ``ids[phase]`` the int32
+    rows of that phase's per-spatial-window conds. ONE batched text encode
+    and ONE batched image encode cover every phase — a per-phase CLIP call
+    is a distinct-batch program each, and each program's synchronous
+    first-exec load costs 0.4-25s through the axon tunnel. The step
+    program gathers rows via StepPlan.ctx_idx (planar._window_step)."""
     vs = model.config.vae.spatial_scale
     total_h_img = grid.total_h * vs
-    contexts = []
+    crops, prompts, ids = [], [], []
     for phase in range(grid.loop_step):
         origins = grid.step_origins(phase)
-        crops, prompts = [], []
+        ids.append(np.arange(len(crops), len(crops) + len(origins), dtype=np.int32))
         for (h0, w0) in origins:
             top, left = h0 * vs, w0 * vs
             crops.append(ring_crop_image(pano_image, top, left, view_height, view_width))
@@ -76,15 +95,13 @@ def _phase_contexts(
                 if window_multi_prompt_dict
                 else prompt
             )
-        text_embs = encode_texts_cached(model, prompts, text_cache)
-        if model.image_encoder is None:  # t2v planar variant: text-only cond
-            contexts.append(text_embs)
-        else:
-            img_embs = model.encode_image_cond(
-                jnp.asarray(np.stack(crops)), params=params
-            )
-            contexts.append(cat_text_image(text_embs, img_embs))
-    return contexts
+    text_embs = encode_texts_cached(model, prompts, text_cache)
+    if model.image_encoder is None:  # t2v planar variant: text-only cond
+        return text_embs, ids
+    img_embs = model.encode_image_cond(
+        jnp.asarray(np.stack(crops)), params=params
+    )
+    return cat_text_image(text_embs, img_embs), ids
 
 
 
@@ -197,6 +214,7 @@ def sample_shift_multi_windows_integer(
 
     steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
     plan: List[StepPlan] = []
+    ddim_ts_np = np.asarray(sched.ddim_timesteps)  # one readback, not S
     for i in range(steps_eff):
         index = steps_eff - 1 - i
         origins = grid.step_origins(i)
@@ -209,7 +227,7 @@ def sample_shift_multi_windows_integer(
         last = i == steps_eff - 1
         plan.append(
             StepPlan(
-                t=int(sched.ddim_timesteps[index]),
+                t=int(ddim_ts_np[index]),
                 index=index,
                 origins=np.asarray(origins, np.int32),
                 context=ctx_cache[hw_key],
@@ -342,15 +360,32 @@ def sample_shift_multi_windows(
     from dynamicscaler_tpu.utils.timing import Marker
 
     _tm = Marker("i2v")
-    text_cache: dict = {}
-    phase_ctx = _phase_contexts(
-        model, grid, pano_image, prompt, window_multi_prompt_dict,
-        height, width, text_cache, params=params,
+    # memoized across calls: the gen_pano_360 aot_warm thread invokes this
+    # sampler with the SAME (model, geometry, prompt, image) as the later
+    # real stage run — recomputing the CLIP conds cost the real stage-3 run
+    # 15-33s of chip time for identical arrays
+    ck = (
+        id(model), id(params), grid, prompt, repr(window_multi_prompt_dict),
+        height, width, _image_digest(pano_image),
     )
-    uncond = build_uncond_context(
-        model, with_image=model.image_encoder is not None, image_hw=(wh, ww)
-    )
-    _tm.mark("phase conditioning (CLIP)", block=list(phase_ctx) if _tm.on else None)
+    hit = _COND_CACHE.get(ck)
+    if hit is None:
+        text_cache: dict = {}
+        ctx_bank, phase_ids = _phase_contexts(
+            model, grid, pano_image, prompt, window_multi_prompt_dict,
+            height, width, text_cache, params=params,
+        )
+        uncond = build_uncond_context(
+            model, with_image=model.image_encoder is not None, image_hw=(wh, ww)
+        )
+        # cap 2: each entry pins its params tree (2.9GB at full size)
+        if len(_COND_CACHE) >= 2:
+            _COND_CACHE.pop(next(iter(_COND_CACHE)))
+        # keep model/params alive so the id() keys can't be reused
+        _COND_CACHE[ck] = (ctx_bank, phase_ids, uncond, model, params)
+    else:
+        ctx_bank, phase_ids, uncond = hit[0], hit[1], hit[2]
+    _tm.mark("phase conditioning (CLIP)", block=ctx_bank if _tm.on else None)
 
     # ---- init latent -------------------------------------------------------
     k_init, k_run, k_noise = jax.random.split(key, 3)
@@ -388,6 +423,7 @@ def sample_shift_multi_windows(
         overlap_ratio_list_f = [0.25] * S
     steps_eff = S - (skip if use_skip_time and not progressive_skip else 0)
     plan: List[StepPlan] = []
+    ddim_ts_np = np.asarray(sched.ddim_timesteps)  # one readback, not S
     for i in range(steps_eff):
         index = steps_eff - 1 - i  # == full-table index (see module docs)
         phase = (i + begin_index_offset) % loop_step
@@ -396,19 +432,19 @@ def sample_shift_multi_windows(
             i, total_f, frames, overlap_ratio_list_f[i], loop_step_frame, dock_at_f
         )
         origins = [(f0, h0, w0) for f0 in f_origins for (h0, w0) in spatial]
-        # the UNTILED per-spatial-window conds: the step program tiles to
-        # the full window count internally (planar._window_step) — a host
-        # jnp.tile per (phase, nf) combo would create ~32 tiny XLA
-        # programs whose remote round trips cost 0.4-12s EACH through the
-        # axon tunnel (measured: this loop alone stalled 408s)
-        ctx = phase_ctx[phase]
+        # context = the all-phases bank; the step program gathers this
+        # step's per-window rows via ctx_idx (planar._window_step) — host
+        # slicing/tiling would create tiny per-shape XLA programs whose
+        # remote round trips cost 0.4-25s EACH through the axon tunnel
+        # (measured: this loop alone stalled 408s)
+        ctx_idx = np.concatenate([phase_ids[phase]] * len(f_origins))
         last = i == steps_eff - 1
         plan.append(
             StepPlan(
-                t=int(sched.ddim_timesteps[index]),
+                t=int(ddim_ts_np[index]),
                 index=index,
                 origins=np.asarray(origins, np.int32),
-                context=ctx,
+                context=ctx_bank,
                 earlier_mask=None,  # generated on-device inside the step
                 renoise_ratio=None
                 if last or merge_renoised_overlap_latent_ratio is None
@@ -416,6 +452,7 @@ def sample_shift_multi_windows(
                 merge_prev_ratio=None
                 if last or merge_prev_denoised_ratio_list is None
                 else float(merge_prev_denoised_ratio_list[i]),
+                ctx_idx=ctx_idx,
             )
         )
 

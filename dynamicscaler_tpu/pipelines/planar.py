@@ -87,10 +87,13 @@ class StepPlan:
     t: int  # DDPM timestep fed to the UNet
     index: int  # DDIM table index (total_steps - i - 1)
     origins: np.ndarray  # [N, 3] int32 (f0, h0, w0)
-    context: jnp.ndarray  # [N, L, D] per-window cond context
+    context: jnp.ndarray  # per-window cond context (see _window_step forms)
     earlier_mask: Optional[np.ndarray]  # [N, f, h, w, 1] or None
     renoise_ratio: Optional[float]
     merge_prev_ratio: Optional[float]
+    # optional [N] int32 row ids into a shared all-phases context bank
+    # (context then holds the bank; rows resolve in-program)
+    ctx_idx: Optional[np.ndarray] = None
 
 
 _STEP_FN_CACHE: dict = {}
@@ -189,6 +192,7 @@ class PlanarShiftWindowEngine:
                     jnp.asarray(sp.t, jnp.int32), jnp.asarray(sp.index, jnp.int32),
                     jnp.asarray(0.0), jnp.asarray(0.0),
                     jax.random.fold_in(key, i),
+                    None if sp.ctx_idx is None else jnp.asarray(sp.ctx_idx),
                 )
                 _wm.lap(f"sig {sig}", block=latent if _wm.on else None)
             return latent, denoised
@@ -213,6 +217,7 @@ class PlanarShiftWindowEngine:
                 jnp.asarray(0.0 if sp.renoise_ratio is None else sp.renoise_ratio),
                 jnp.asarray(0.0 if sp.merge_prev_ratio is None else sp.merge_prev_ratio),
                 step_key,
+                None if sp.ctx_idx is None else jnp.asarray(sp.ctx_idx),
             )
             _tm.lap(f"step {i}/{len(plan)} N={len(sp.origins)}",
                     block=latent if _tm.on else None)
@@ -233,6 +238,7 @@ def _window_step(
     renoise_ratio,
     merge_prev_ratio,
     key,
+    ctx_idx=None,  # [N] int32 rows into a shared context bank, or None
     *,
     model: LatentVideoDiffusion,
     sizes,
@@ -249,14 +255,18 @@ def _window_step(
     denoised_buf = constrain_latent(denoised_buf, mesh)
 
     N = origins.shape[0]
-    # context may arrive as one base block [N_base, L, D] with N_base
-    # dividing N (frame-window repeats of per-spatial-window conds, or a
-    # single shared prompt): tile to N INSIDE the program. Tiling here
-    # instead of in the host plan loop keeps the setup path free of tiny
-    # per-shape XLA programs + transfers — each costs a remote round trip
-    # through the axon tunnel (0.4-12s apiece; see pipelines/i2v.py).
-    # Origins order is spatial-fastest per frame block, matching tile().
-    if context.shape[0] != N:
+    # Per-window conds resolve INSIDE the program — host-side slicing /
+    # tiling would each be a tiny XLA program or transfer whose remote
+    # round trips through the axon tunnel cost 0.4-25s apiece (see
+    # pipelines/i2v.py). Two forms:
+    #  * ctx_idx given: context is an all-phases bank; gather rows;
+    #  * else: context is one base block [N_base, L, D] with N_base
+    #    dividing N (frame-window repeats of per-spatial-window conds, or
+    #    a single shared prompt) — tile to N. Origins order is
+    #    spatial-fastest per frame block, matching tile().
+    if ctx_idx is not None:
+        context = context[ctx_idx]
+    elif context.shape[0] != N:
         context = jnp.tile(context, (N // context.shape[0], 1, 1))
     fs, hs, ws = sizes
     frame_idx = jnp.full((fs,), index, jnp.int32)

@@ -295,6 +295,7 @@ def _sphere_step(
     merge_prev_ratio,
     paste_on_static_flag,  # traced bool scalar
     key,
+    pair_ctx=None,  # [Nw] global view ids into an all-phases context bank
     *,
     model: LatentVideoDiffusion,
     frames: int,
@@ -306,13 +307,18 @@ def _sphere_step(
     get_scale: int = 1,
     set_scale: int = 1,
 ):
-    # context may arrive as the UNTILED per-view conds [Nv, L, D]: tile to
-    # the full (frame-window x view) pair count INSIDE the program (pair
-    # order is view-fastest per frame block, matching tile) — host-side
-    # per-(phase, nf) tiles would each be a tiny XLA program / transfer
-    # whose remote tunnel round trips cost 0.4-12s apiece (see
-    # pipelines/i2v.py plan loop).
-    if context.shape[0] != pair_view.shape[0]:
+    # Per-pair conds resolve INSIDE the program — host-side per-(phase, nf)
+    # slicing/tiling would each be a tiny XLA program / transfer whose
+    # remote tunnel round trips cost 0.4-25s apiece (see pipelines/i2v.py
+    # plan loop). Two forms:
+    #  * pair_ctx given: context is the all-phases bank [V_total, L, D];
+    #    gather rows by global view id (sampler loop path);
+    #  * else: context is the per-view block [Nv, L, D]; tile to the
+    #    (frame-window x view) pair count (pair order is view-fastest per
+    #    frame block, matching tile) — direct callers/tests.
+    if pair_ctx is not None:
+        context = context[pair_ctx]
+    elif context.shape[0] != pair_view.shape[0]:
         context = jnp.tile(
             context, (pair_view.shape[0] // context.shape[0], 1, 1)
         )
@@ -622,32 +628,48 @@ def sample_shift_sphere_panorama(
 
     _tm = Marker("sphere")
     _tm.mark("maps")
+    # ONE batched text encode + ONE batched image encode over ALL phases'
+    # views (a per-phase CLIP call is a distinct-batch program each, and
+    # each program's synchronous first-exec load costs 0.4-25s through the
+    # axon tunnel — measured 687s for the old ~27-call loop in the bad
+    # regime). Per-step per-view contexts are gathered from `ctx_all`
+    # INSIDE the step program via `pair_ctx` global view ids.
     text_cache: dict = {}
-    phase_ctx: Dict[int, jnp.ndarray] = {}
+    phase_gid: Dict[int, np.ndarray] = {}
+    all_prompts: list = []
+    all_view_specs: list = []
     for phase, views in phase_views.items():
-        prompts = [
+        phase_gid[phase] = np.arange(
+            len(all_prompts), len(all_prompts) + len(views), dtype=np.int32
+        )
+        all_prompts += [
             (phi_prompt_dict.get(phi, prompt) if phi_prompt_dict else prompt)
             for (phi, _) in views
         ]
-        text_embs = encode_texts_cached(model, prompts, text_cache)
-        if use_image_cond:
-            # per-view cond image: perspective crop of the pano image at full
-            # view resolution (i2v_sphere_panorama_pipeline.py:367-376)
-            crops = []
-            svs_img = make_sphere_views(
-                [((phi_fov_dict or {}).get(phi, view_fov), theta, phi) for (phi, theta) in views],
-                height, width, equirect_height, equirect_width,
-            )
-            for sv in svs_img:
-                crop = pano_image.reshape(-1, 3)[sv.gather_idx.reshape(-1).clip(0)]
-                crop = crop.reshape(height, width, 3) * sv.valid[..., None]
-                crops.append(crop)
-            img_embs = model.encode_image_cond(jnp.asarray(np.stack(crops)), params=params)
-            phase_ctx[phase] = cat_text_image(text_embs, img_embs)
-        else:
-            phase_ctx[phase] = text_embs
+        all_view_specs += [
+            ((phi_fov_dict or {}).get(phi, view_fov), theta, phi)
+            for (phi, theta) in views
+        ]
+    text_embs = encode_texts_cached(model, all_prompts, text_cache)
+    if use_image_cond:
+        # per-view cond image: perspective crop of the pano image at full
+        # view resolution (i2v_sphere_panorama_pipeline.py:367-376)
+        svs_img = make_sphere_views(
+            all_view_specs, height, width, equirect_height, equirect_width
+        )
+        crops = []
+        for sv in svs_img:
+            crop = pano_image.reshape(-1, 3)[sv.gather_idx.reshape(-1).clip(0)]
+            crop = crop.reshape(height, width, 3) * sv.valid[..., None]
+            crops.append(crop)
+        img_embs = model.encode_image_cond(
+            jnp.asarray(np.stack(crops)), params=params
+        )
+        ctx_all = cat_text_image(text_embs, img_embs)  # [V_total, L, D]
+    else:
+        ctx_all = text_embs
 
-    _tm.mark("phase conditioning (CLIP)", block=list(phase_ctx.values()) if _tm.on else None)
+    _tm.mark("phase conditioning (CLIP)", block=ctx_all if _tm.on else None)
     uncond = build_uncond_context(
         model, with_image=use_image_cond, image_hw=(lat_h, lat_w)
     )
@@ -709,6 +731,9 @@ def sample_shift_sphere_panorama(
     )
 
     denoised = jnp.zeros_like(latent)
+    # one table readback for the whole loop (a scalar int() per step is a
+    # device round trip each — 0.4-12s apiece in the tunnel's bad regime)
+    ddim_ts_np = np.asarray(sched.ddim_timesteps)
     _tm.reset_lap()
     for i in range(steps_eff):
         # with skip the table index keeps counting from the truncated top
@@ -721,8 +746,11 @@ def sample_shift_sphere_panorama(
         Nv = len(views)
         pair_view = np.asarray([v for _ in f_origins for v in range(Nv)], np.int32)
         pair_f = np.asarray([f0 for f0 in f_origins for _ in range(Nv)], np.int32)
-        # untiled per-view conds; _sphere_step tiles to the pair count
-        ctx = phase_ctx[phase]
+        # global view ids into ctx_all; the step program gathers per-pair
+        # conds internally (see _sphere_step)
+        pair_ctx = np.asarray(
+            [g for _ in f_origins for g in phase_gid[phase]], np.int32
+        )
         last = i == steps_eff - 1
         use_ren = (merge_renoised_overlap_latent_ratio is not None) and not last
         use_mp = (merge_prev_denoised_ratio_list is not None) and not last
@@ -740,9 +768,9 @@ def sample_shift_sphere_panorama(
             jnp.asarray(pair_f),
             native_maps[phase]["gather"],
             native_maps[phase]["valid"],
-            ctx,
+            ctx_all,
             uncond,
-            jnp.asarray(int(sched.ddim_timesteps[index]), jnp.int32),
+            jnp.asarray(int(ddim_ts_np[index]), jnp.int32),
             jnp.asarray(index, jnp.int32),
             jnp.asarray(
                 float(merge_renoised_overlap_latent_ratio) if use_ren else 0.0
@@ -752,6 +780,7 @@ def sample_shift_sphere_panorama(
             ),
             jnp.asarray(bool(paste_on_static and not last)),
             jax.random.fold_in(k_run, i),
+            jnp.asarray(pair_ctx),
         )
         _tm.lap(f"step {i}/{steps_eff} phase={phase}", block=latent if _tm.on else None)
 

@@ -242,12 +242,13 @@ def sample_shift_multi_windows(
 
     S = sched.num_ddim_steps
     plan: List[StepPlan] = []
+    ddim_ts_np = np.asarray(sched.ddim_timesteps)  # one readback, not S
     for i in range(S):
         origins = np.asarray(grid.step_origins(i), np.int32)
         last = i == S - 1
         plan.append(
             StepPlan(
-                t=int(sched.ddim_timesteps[S - 1 - i]),
+                t=int(ddim_ts_np[S - 1 - i]),
                 index=S - 1 - i,
                 origins=origins,
                 # base [1, L, D]; the step program tiles to len(origins)
