@@ -6,8 +6,10 @@ axon per-call floor. B=8 (CFG-packed window batch 4x2) at the native
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python dev/ablate_unet.py [variant...]
 Variants: full full_nofused no_tattn no_tconv convs_only
-          no_k_temporal no_k_spatial no_k_cross no_k_ff (disable one
-          fused-kernel class, everything else on)
+          no_k_temporal no_k_spatial no_k_cross no_k_ff no_k_block
+          no_k_wrap (disable one fused-kernel class, everything else on;
+          block = whole-transformer-block kernels, wrap = GN+proj_in /
+          proj_out+residual wrapper kernels)
 """
 
 import dataclasses

@@ -34,7 +34,7 @@ from dynamicscaler_tpu.models.layers import (
     ProjParams,
     layer_norm,
 )
-from dynamicscaler_tpu.ops import fused_spatial, fused_temporal
+from dynamicscaler_tpu.ops import fused_block, fused_spatial, fused_temporal
 from dynamicscaler_tpu.ops.attention import attention as _fused_attention
 
 
@@ -76,6 +76,7 @@ class CrossAttention(nn.Module):
         mask=None,
         ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         add_residual: bool = False,
+        params_only: bool = False,
     ):
         h, d = self.heads, self.dim_head
         inner = h * d
@@ -93,6 +94,23 @@ class CrossAttention(nn.Module):
         wk, _ = ProjParams(ctx_dim, inner, name="to_k")()
         wv, _ = ProjParams(ctx_dim, inner, name="to_v")()
         wo, bo = ProjParams(inner, Cq, use_bias=True, name="to_out")()
+
+        if params_only:
+            # declare the exact same tree and hand the raw arrays to a
+            # caller-side fused kernel (ops/fused_block.py). rel-pos tables
+            # are declared for tree parity but never exported (the block
+            # kernels gate on `not relative_position`).
+            if self.relative_position:
+                assert self.temporal_length is not None
+                self.param("rel_pos_k", nn.initializers.xavier_uniform(),
+                           (2 * self.temporal_length + 1, d))
+                self.param("rel_pos_v", nn.initializers.xavier_uniform(),
+                           (2 * self.temporal_length + 1, d))
+            if use_img:
+                wk_ip, _ = ProjParams(ctx_dim, inner, name="to_k_ip")()
+                wv_ip, _ = ProjParams(ctx_dim, inner, name="to_v_ip")()
+                return (wq, wk, wv, wk_ip, wv_ip, wo, bo)
+            return (wq, wk, wv, wo, bo)
 
         if (
             ln is not None
@@ -218,17 +236,48 @@ class BasicTransformerBlock(nn.Module):
             temporal_length=self.temporal_length,
             dtype=self.dtype,
         )
-        x = CrossAttention(name="attn1", **attn_kwargs)(
-            x, mask=mask, ln=(s1, b1), add_residual=True
-        )
-        x = CrossAttention(
+        attn1 = CrossAttention(name="attn1", **attn_kwargs)
+        attn2 = CrossAttention(
             name="attn2",
             context_dim=self.context_dim,
             img_cross_attention=self.img_cross_attention,
             **attn_kwargs,
-        )(x, context=context, mask=mask, ln=(s2, b2), add_residual=True)
-        s3, b3 = LNParams(self.dim, name="norm3")()
-        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
-            x, ln=(s3, b3), add_residual=True
         )
+        ffm = FeedForward(self.dim, dtype=self.dtype, name="ff")
+
+        inner = self.heads * self.dim_head
+        N = x.shape[1]
+        # whole-block fused kernel (ops/fused_block.py): all three
+        # sub-blocks in one pallas_call, activation tile VMEM-resident
+        whole_block = (
+            mask is None
+            and not self.relative_position
+            and (
+                fused_block.temporal_block_fusable(N, inner, self.dim, self.heads)
+                if context is None
+                else fused_block.spatial_block_fusable(
+                    N, inner, self.dim, self.heads, context.shape[-1]
+                )
+            )
+        )
+        if whole_block:
+            a1 = attn1(x, params_only=True)
+            a2 = attn2(x, context=context, params_only=True)
+            s3, b3 = LNParams(self.dim, name="norm3")()
+            ffp = ffm(x, params_only=True)
+            lns = (s1, b1, s2, b2, s3, b3)
+            xd = x.astype(self.dtype)
+            scale = self.dim_head**-0.5
+            if context is None:
+                return fused_block.fused_temporal_block(
+                    xd, lns, a1, a2, ffp, heads=self.heads, scale=scale
+                )
+            return fused_block.fused_spatial_block(
+                xd, context, lns, a1, a2, ffp, heads=self.heads, scale=scale
+            )
+
+        x = attn1(x, mask=mask, ln=(s1, b1), add_residual=True)
+        x = attn2(x, context=context, mask=mask, ln=(s2, b2), add_residual=True)
+        s3, b3 = LNParams(self.dim, name="norm3")()
+        x = ffm(x, ln=(s3, b3), add_residual=True)
         return x

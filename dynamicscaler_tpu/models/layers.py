@@ -139,6 +139,18 @@ class LNParams(nn.Module):
         return s, b
 
 
+class GNParams(nn.Module):
+    """Parameter twin of GroupNorm32: declares the nested
+    GroupNorm_0/{scale, bias} and returns the raw arrays (for fused
+    kernels). Param paths stay bit-identical to GroupNorm32."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return LNParams(self.dim, name="GroupNorm_0")()
+
+
 class ProjParams(nn.Module):
     """Parameter twin of nn.Dense: declares {kernel[, bias]} under this
     module's scope and returns the raw arrays (for fused kernels)."""
@@ -146,11 +158,14 @@ class ProjParams(nn.Module):
     in_dim: int
     out_dim: int
     use_bias: bool = False
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self):
         k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim),
         )
         b = (
             self.param("bias", nn.initializers.zeros, (self.out_dim,))
@@ -194,12 +209,16 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ln=None, add_residual: bool = False):
+    def __call__(self, x, ln=None, add_residual: bool = False,
+                 params_only: bool = False):
         from dynamicscaler_tpu.ops import fused_temporal
 
         inner = int(self.dim * self.mult)
         w1, b1 = _GEGLUParams(self.dim, inner * 2, name="geglu")()
         w2, b2 = ProjParams(inner, self.dim, use_bias=True, name="out")()
+        if params_only:
+            # raw arrays for a caller-side fused block kernel
+            return (w1, b1, w2, b2)
 
         if ln is not None and x.shape[-1] == self.dim and fused_temporal.ff_fusable(self.dim):
             return fused_temporal.fused_ln_geglu(

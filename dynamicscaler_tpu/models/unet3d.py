@@ -27,11 +27,14 @@ import flax.linen as nn
 
 from dynamicscaler_tpu.config import UNetConfig
 from dynamicscaler_tpu.models.layers import (
+    GNParams,
     GroupNorm32,
     MLPEmbed,
+    ProjParams,
     timestep_embedding,
 )
 from dynamicscaler_tpu.models.attention import BasicTransformerBlock
+from dynamicscaler_tpu.ops import fused_twrap
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +222,12 @@ class SpatialTransformer(nn.Module):
         BF, H, W, C = x.shape
         inner = self.heads * self.dim_head
         x_in = x
-        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        h = h.reshape(BF, H * W, C)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        # head/tail wrapper (GN -> proj_in / proj_out -> +residual) fused
+        # into single Pallas passes on TPU (ops/fused_twrap.py); params are
+        # declared via holder twins so the tree matches GroupNorm32/Dense
+        gs, gb = GNParams(C, name="norm")()
+        w_in, b_in = ProjParams(C, inner, use_bias=True, name="proj_in")()
+        h = fused_twrap.gn_proj_in_spatial(x.astype(self.dtype), gs, gb, w_in, b_in)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 dim=inner,
@@ -232,10 +238,10 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"block{d}",
             )(h, context=context)
-        h = nn.Dense(
-            C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
-        )(h)
-        return h.reshape(BF, H, W, C) + x_in
+        w_out, b_out = ProjParams(
+            inner, C, use_bias=True, zero_init=True, name="proj_out"
+        )()
+        return fused_twrap.tail_spatial(h, x_in.astype(self.dtype), w_out, b_out)
 
 
 class TemporalTransformer(nn.Module):
@@ -259,13 +265,14 @@ class TemporalTransformer(nn.Module):
         B = BF // num_frames
         F = num_frames
         inner = self.heads * self.dim_head
-        x_in = x
 
-        x5 = x.reshape(B, F, H, W, C)
-        h = GroupNorm32(epsilon=1e-6, name="norm")(x5)
-        # tokens = frames, batch = (B H W)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        x5 = x.astype(self.dtype).reshape(B, F, H, W, C)
+        # GN -> frame-axis permute (tokens = frames, batch = (B H W)) ->
+        # proj_in as ONE fused pass (ops/fused_twrap.py); holder twins keep
+        # the param tree identical to GroupNorm32/Dense
+        gs, gb = GNParams(C, name="norm")()
+        w_in, b_in = ProjParams(C, inner, use_bias=True, name="proj_in")()
+        h = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
 
         mask = None
         if self.causal_attention:
@@ -288,11 +295,11 @@ class TemporalTransformer(nn.Module):
                 name=f"block{d}",
             )(h, mask=mask)
 
-        h = nn.Dense(
-            C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
-        )(h)
-        h = h.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4).reshape(BF, H, W, C)
-        return h + x_in
+        w_out, b_out = ProjParams(
+            inner, C, use_bias=True, zero_init=True, name="proj_out"
+        )()
+        h5 = fused_twrap.tail_temporal(h, x5, w_out, b_out)
+        return h5.reshape(BF, H, W, C)
 
 
 class Downsample(nn.Module):

@@ -1,0 +1,378 @@
+"""Fused Pallas TPU kernels for the transformer *wrapper* layers.
+
+Every Spatial/TemporalTransformer in the UNet brackets its token blocks
+with the same bandwidth-bound chain (lvdm/modules/attention.py:223-278,
+281-373):
+
+    GroupNorm(32, fp32) -> [transpose to token layout] -> proj_in Dense
+    ... token blocks ...
+    proj_out Dense -> [transpose back] -> + residual
+
+On XLA each arrow is one or two full HBM round-trips over the level's
+activation tensor (210 MB at L1, B=8) — none of it is MXU work worth
+that traffic. These kernels collapse the bracket to one read+write each:
+
+* ``gn_proj_in``: normalize with *precomputed* GroupNorm statistics
+  (folded to per-(sample, channel) scale/offset vectors — the reduction
+  itself is one cheap XLA pass), permute the frame axis into tokens when
+  requested, and run the proj_in matmul on VMEM-resident data.
+* ``proj_out_residual``: proj_out matmul, permute back, add the residual
+  read directly in the *native* layout.
+
+The frame-axis permute is VMEM-internal: the lane (channel) dimension is
+untouched, so Mosaic implements it as vreg re-indexing instead of an HBM
+relayout pass.
+
+Numerics match the unfused path (fp32 GroupNorm statistics, bf16 matmul
+inputs) to bf16 rounding; parity is tested in interpret mode on CPU
+(tests/test_fused_twrap.py). Mode/kill switches are shared with the other
+fused kernels (ops/fused_temporal.py: DSCALER_FUSED_TEMPORAL,
+DSCALER_FUSE_DISABLE=wrap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dynamicscaler_tpu.ops import fused_temporal
+
+
+def _mode() -> str:
+    return fused_temporal.mode()
+
+
+def _enabled() -> bool:
+    if _mode() == "off" or fused_temporal.kernel_disabled("wrap"):
+        return False
+    return _mode() == "interpret" or fused_temporal._tpu_available()
+
+
+def group_norm_fold(x5, scale, bias, num_groups: int = 32, eps: float = 1e-6):
+    """Per-(sample, channel) GroupNorm normalization vectors.
+
+    x5: [B, *spatial, C] — statistics reduce over everything but B (torch
+    GroupNorm semantics; for the temporal transformer B is the clip batch,
+    for the spatial transformer it is batch*frames). Returns fp32
+    (mul, add) of shape [B, C] such that ``normalized = x * mul + add``.
+    One cheap XLA reduction pass; the elementwise apply happens inside the
+    fused kernels.
+    """
+    B = x5.shape[0]
+    C = x5.shape[-1]
+    G = num_groups
+    xf = x5.astype(jnp.float32).reshape(B, -1, G, C // G)
+    mu = jnp.mean(xf, axis=(1, 3))  # [B, G]
+    mu2 = jnp.mean(xf * xf, axis=(1, 3))
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    rstd = jax.lax.rsqrt(var + eps)  # [B, G]
+    rstd_c = jnp.repeat(rstd, C // G, axis=1)  # [B, C]
+    mu_c = jnp.repeat(mu, C // G, axis=1)
+    mul = rstd_c * scale.astype(jnp.float32)[None]
+    add = bias.astype(jnp.float32)[None] - mu_c * mul
+    return mul, add
+
+
+def _head_kernel(x_ref, mul_ref, add_ref, w_ref, b_ref, o_ref, *, permute: bool):
+    # x block: [1, F, TH, W, C] (temporal, permute=True)
+    #       or [TB, N, C]       (spatial,  permute=False)
+    if permute:
+        _, F, TH, W, C = x_ref.shape
+        x = x_ref[0].reshape(F, TH * W, C)
+        xn = x.astype(jnp.float32) * mul_ref[0][None, None] + add_ref[0][None, None]
+        h = jnp.transpose(xn.astype(o_ref.dtype), (1, 0, 2))  # [THW, F, C]
+        R, T = TH * W, F
+    else:
+        TB, N, C = x_ref.shape
+        x = x_ref[:]
+        # per-sample GN vectors: [TB, C] broadcast over tokens
+        xn = (
+            x.astype(jnp.float32) * mul_ref[:][:, None]
+            + add_ref[:][:, None]
+        )
+        h = xn.astype(o_ref.dtype)
+        R, T = TB, N
+    Ci = w_ref.shape[1]
+    out = jnp.dot(
+        h.reshape(R * T, C), w_ref[:], preferred_element_type=jnp.float32
+    )
+    out = (out + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = out.reshape(R, T, Ci)
+
+
+def _tail_kernel(y_ref, x_ref, w_ref, b_ref, o_ref, *, permute: bool):
+    # y block: [THW, F, Ci] / [TB, N, Ci]; x (residual, native layout):
+    # [1, F, TH, W, C] / [TB, N, C]; out matches x.
+    R, T, Ci = y_ref.shape
+    C = w_ref.shape[1]
+    o = jnp.dot(
+        y_ref[:].reshape(R * T, Ci), w_ref[:], preferred_element_type=jnp.float32
+    )
+    o = (o + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    if permute:
+        _, F, TH, W, _ = x_ref.shape
+        o = jnp.transpose(o.reshape(R, T, C), (1, 0, 2))  # [F, THW, C]
+        o_ref[:] = (o.reshape(1, F, TH, W, C) + x_ref[:]).astype(o_ref.dtype)
+    else:
+        o_ref[:] = (o.reshape(R, T, C) + x_ref[:]).astype(o_ref.dtype)
+
+
+def _h_tile(F: int, H: int, W: int, C: int, Ci: int, itemsize: int) -> int:
+    """Rows of H per temporal grid block: bound the [F, TH*W, C] fp32
+    normalize transient + bf16 in/out tiles to ~24MB."""
+    budget = 24 * 1024 * 1024
+    per_h = F * W * max(C, Ci) * (4 + 3 * itemsize)
+    th = max(1, budget // per_h)
+    while H % th:
+        th -= 1
+    return th
+
+
+def _tb_tile(N: int, C: int, Ci: int, itemsize: int) -> int:
+    budget = 24 * 1024 * 1024
+    per_row = N * max(C, Ci) * (4 + 3 * itemsize)
+    return min(16, max(1, budget // per_row))
+
+
+def head_fusable(C: int, Ci: int) -> bool:
+    if not _enabled():
+        return False
+    return C % 128 == 0 or C in (320, 640)  # lane-padded C is fine; keep sane
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _head_temporal(x5, mul, add, w, b, *, interpret):
+    B, F, H, W, C = x5.shape
+    Ci = w.shape[1]
+    TH = _h_tile(F, H, W, C, Ci, x5.dtype.itemsize)
+    grid = (B, H // TH)
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, permute=True),
+        out_shape=jax.ShapeDtypeStruct((B * H * W, F, Ci), x5.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, F, TH, W, C), lambda bq, i: (bq, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TH * W, F, Ci),
+            lambda bq, i: (bq * (H // TH) + i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * F * H * W * C * Ci,
+            bytes_accessed=B * F * H * W * (C + Ci) * x5.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x5, mul, add, w, b)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tail_temporal(y, x5, w, b, *, interpret):
+    B, F, H, W, C = x5.shape
+    Ci = y.shape[-1]
+    TH = _h_tile(F, H, W, C, Ci, x5.dtype.itemsize)
+    grid = (B, H // TH)
+    x_spec = pl.BlockSpec(
+        (1, F, TH, W, C), lambda bq, i: (bq, 0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, permute=True),
+        out_shape=jax.ShapeDtypeStruct((B, F, H, W, C), x5.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (TH * W, F, Ci),
+                lambda bq, i: (bq * (H // TH) + i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            x_spec,
+            pl.BlockSpec((Ci, C), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * F * H * W * C * Ci,
+            bytes_accessed=B * F * H * W * (3 * C + Ci) * x5.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(y, x5, w, b)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _head_spatial(x3, mul, add, w, b, *, interpret):
+    B, N, C = x3.shape
+    Ci = w.shape[1]
+    TB = _tb_tile(N, C, Ci, x3.dtype.itemsize)
+    pad = (-B) % TB
+    if pad:
+        x3 = jnp.pad(x3, ((0, pad), (0, 0), (0, 0)))
+        mul = jnp.pad(mul, ((0, pad), (0, 0)))
+        add = jnp.pad(add, ((0, pad), (0, 0)))
+    Bp = B + pad
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, permute=False),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, Ci), x3.dtype),
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, N, Ci), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * N * C * Ci,
+            bytes_accessed=Bp * N * (C + Ci) * x3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3, mul, add, w, b)
+    return out[:B] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tail_spatial(y, x3, w, b, *, interpret):
+    B, N, C = x3.shape
+    Ci = y.shape[-1]
+    TB = _tb_tile(N, C, Ci, x3.dtype.itemsize)
+    pad = (-B) % TB
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0), (0, 0)))
+        x3 = jnp.pad(x3, ((0, pad), (0, 0), (0, 0)))
+    Bp = B + pad
+    x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, permute=False),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, C), x3.dtype),
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, Ci), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((Ci, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=x_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * N * C * Ci,
+            bytes_accessed=Bp * N * (3 * C + Ci) * x3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(y, x3, w, b)
+    return out[:B] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# public entry points — each dispatches kernel (TPU / interpret) vs pure-jnp
+# fallback with identical numerics, so module structure never depends on
+# the platform.
+# ---------------------------------------------------------------------------
+
+
+def gn_proj_in_temporal(x5, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
+    """[B,F,H,W,C] -> GroupNorm(32) -> [B*H*W, F, Ci] proj_in tokens.
+
+    Fuses the TemporalTransformer head (lvdm/modules/attention.py:299-321
+    norm + rearrange + linear proj_in) into one pass."""
+    B, F, H, W, C = x5.shape
+    mul, add = group_norm_fold(x5, gn_scale, gn_bias, eps=eps)
+    if _enabled():
+        return _head_temporal(
+            x5, mul, add, w.astype(x5.dtype), b.astype(jnp.float32).reshape(1, -1),
+            interpret=_mode() == "interpret",
+        )
+    xn = (x5.astype(jnp.float32) * mul[:, None, None, None] +
+          add[:, None, None, None]).astype(x5.dtype)
+    h = xn.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
+    return (
+        jnp.dot(h, w.astype(x5.dtype), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    ).astype(x5.dtype)
+
+
+def tail_temporal(y, x5, w, b):
+    """proj_out -> permute back -> + residual: [BHW,F,Ci], [B,F,H,W,C] ->
+    [B,F,H,W,C]."""
+    if _enabled():
+        return _tail_temporal(
+            y, x5, w.astype(y.dtype), b.astype(jnp.float32).reshape(1, -1),
+            interpret=_mode() == "interpret",
+        )
+    B, F, H, W, C = x5.shape
+    o = (jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
+         + b.astype(jnp.float32)).astype(y.dtype)
+    o = o.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
+    return o + x5
+
+
+def gn_proj_in_spatial(x4, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
+    """[BF,H,W,C] -> GroupNorm(32) -> [BF, H*W, Ci] proj_in tokens (the
+    SpatialTransformer head, lvdm/modules/attention.py:252-262)."""
+    BF, H, W, C = x4.shape
+    mul, add = group_norm_fold(x4, gn_scale, gn_bias, eps=eps)
+    x3 = x4.reshape(BF, H * W, C)
+    if _enabled():
+        return _head_spatial(
+            x3, mul, add, w.astype(x4.dtype), b.astype(jnp.float32).reshape(1, -1),
+            interpret=_mode() == "interpret",
+        )
+    xn = (x3.astype(jnp.float32) * mul[:, None] + add[:, None]).astype(x4.dtype)
+    return (
+        jnp.dot(xn, w.astype(x4.dtype), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    ).astype(x4.dtype)
+
+
+def tail_spatial(y, x4, w, b):
+    """proj_out -> + residual: [BF,N,Ci], [BF,H,W,C] -> [BF,H,W,C]."""
+    BF, H, W, C = x4.shape
+    x3 = x4.reshape(BF, H * W, C)
+    if _enabled():
+        out = _tail_spatial(
+            y, x3, w.astype(y.dtype), b.astype(jnp.float32).reshape(1, -1),
+            interpret=_mode() == "interpret",
+        )
+        return out.reshape(BF, H, W, C)
+    o = (jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
+         + b.astype(jnp.float32)).astype(y.dtype)
+    return (o + x3).reshape(BF, H, W, C)

@@ -1,0 +1,133 @@
+"""Parity tests for the fused transformer-wrapper kernels
+(ops/fused_twrap.py): Pallas interpret mode vs the pure-jnp fallback, plus
+whole-module equivalence of Spatial/TemporalTransformer under both paths.
+
+The kernels replace GroupNorm32 + transpose + nn.Dense proj_in/proj_out +
+residual in the UNet transformer wrappers (lvdm/modules/attention.py:
+223-278, 281-373); numerics must match to float rounding.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicscaler_tpu.ops import fused_temporal, fused_twrap
+
+
+@pytest.fixture(autouse=True)
+def _restore_mode():
+    yield
+    fused_temporal.set_mode("auto")
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+def test_group_norm_fold_matches_flax():
+    import flax.linen as nn
+
+    x = _rand(0, (2, 4, 8, 16, 64))
+    gs = 1.0 + 0.1 * _rand(1, (64,))
+    gb = 0.1 * _rand(2, (64,))
+    mul, add = fused_twrap.group_norm_fold(x, gs, gb, eps=1e-6)
+    got = x * mul[:, None, None, None] + add[:, None, None, None]
+
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+    ref = gn.apply(
+        {"params": {"scale": gs, "bias": gb}}, x.reshape(2, 4 * 8 * 16, 64)
+    ).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shape,ci", [((2, 4, 8, 16, 64), 64), ((1, 2, 10, 16, 128), 128)])
+def test_head_tail_temporal_interpret_vs_fallback(shape, ci):
+    B, F, H, W, C = shape
+    x5 = _rand(0, shape)
+    gs = 1.0 + 0.1 * _rand(1, (C,))
+    gb = 0.1 * _rand(2, (C,))
+    w_in = 0.05 * _rand(3, (C, ci))
+    b_in = 0.1 * _rand(4, (ci,))
+    w_out = 0.05 * _rand(5, (ci, C))
+    b_out = 0.1 * _rand(6, (C,))
+
+    fused_temporal.set_mode("off")
+    h_ref = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
+    y = jnp.tanh(h_ref)  # stand-in for the token blocks
+    out_ref = fused_twrap.tail_temporal(y, x5, w_out, b_out)
+
+    fused_temporal.set_mode("interpret")
+    h = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
+    out = fused_twrap.tail_temporal(y, x5, w_out, b_out)
+
+    assert h.shape == (B * H * W, F, ci)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_head_tail_spatial_interpret_vs_fallback():
+    BF, H, W, C, ci = 6, 8, 16, 64, 64
+    x4 = _rand(0, (BF, H, W, C))
+    gs = 1.0 + 0.1 * _rand(1, (C,))
+    gb = 0.1 * _rand(2, (C,))
+    w_in = 0.05 * _rand(3, (C, ci))
+    b_in = 0.1 * _rand(4, (ci,))
+    w_out = 0.05 * _rand(5, (ci, C))
+    b_out = 0.1 * _rand(6, (C,))
+
+    fused_temporal.set_mode("off")
+    h_ref = fused_twrap.gn_proj_in_spatial(x4, gs, gb, w_in, b_in)
+    y = jnp.tanh(h_ref)
+    out_ref = fused_twrap.tail_spatial(y, x4, w_out, b_out)
+
+    fused_temporal.set_mode("interpret")
+    h = fused_twrap.gn_proj_in_spatial(x4, gs, gb, w_in, b_in)
+    out = fused_twrap.tail_spatial(y, x4, w_out, b_out)
+
+    assert h.shape == (BF, H * W, ci)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_transformer_modules_kernel_vs_fallback():
+    """Whole Spatial/TemporalTransformer: interpret-kernel path equals the
+    pure-jnp path on the same params."""
+    from dynamicscaler_tpu.models.unet3d import SpatialTransformer, TemporalTransformer
+
+    BF, H, W, C = 8, 8, 16, 64  # F = 4 frames, B = 2
+    x = _rand(0, (BF, H, W, C))
+    ctx = _rand(1, (BF, 16, 96))
+
+    st = SpatialTransformer(channels=C, heads=1, dim_head=C, context_dim=96)
+    tt = TemporalTransformer(channels=C, heads=1, dim_head=C, temporal_length=4)
+
+    fused_temporal.set_mode("off")
+    ps = st.init(jax.random.PRNGKey(0), x, ctx)
+    pt = tt.init(jax.random.PRNGKey(1), x, 4)
+    ref_s = st.apply(ps, x, ctx)
+    ref_t = tt.apply(pt, x, 4)
+
+    fused_temporal.set_mode("interpret")
+    got_s = st.apply(ps, x, ctx)
+    got_t = tt.apply(pt, x, 4)
+
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), atol=5e-5, rtol=5e-5)
+
+
+def test_param_tree_matches_converter_layout():
+    """The holder twins must produce the exact GroupNorm32/Dense paths the
+    torch->JAX converter emits (utils/weights.py:82-83,124-125)."""
+    from dynamicscaler_tpu.models.unet3d import TemporalTransformer
+
+    tt = TemporalTransformer(channels=64, heads=1, dim_head=64, temporal_length=4)
+    p = tt.init(jax.random.PRNGKey(0), jnp.zeros((4, 8, 16, 64)), 4)["params"]
+    assert set(p["norm"].keys()) == {"GroupNorm_0"}
+    assert set(p["norm"]["GroupNorm_0"].keys()) == {"scale", "bias"}
+    assert set(p["proj_in"].keys()) == {"kernel", "bias"}
+    assert set(p["proj_out"].keys()) == {"kernel", "bias"}
+    assert p["proj_in"]["kernel"].shape == (64, 64)
+    # proj_out stays zero-initialised (openaimodel3d.py zero_module semantics)
+    assert float(jnp.abs(p["proj_out"]["kernel"]).max()) == 0.0
