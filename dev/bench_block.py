@@ -5,7 +5,7 @@ Compares, per real UNet shape, the fused path against the same module
 with that kernel class disabled (DSCALER_FUSE_DISABLE), using K=2 vs K=12
 chained calls inside one program to cancel the axon per-call floor.
 
-Usage: PYTHONPATH=/root/repo python dev/bench_block.py [temporal|spatial|wrap|all]
+Usage: PYTHONPATH=/root/repo python dev/bench_block.py [temporal|spatial|xfmr|all]
 """
 
 import sys
@@ -83,34 +83,36 @@ def bench_spatial():
               f"(x{t_sub / t_blk:.2f})")
 
 
-def bench_wrap():
-    # whole transformer incl GN+proj wrapper; wrap kernel on vs off
+LADDER = [
+    ("xla     ", frozenset(["mega", "block", "wrap", "temporal", "spatial",
+                            "cross", "ff"])),
+    ("subs    ", frozenset(["mega", "block", "wrap"])),  # r2 sub-kernels
+    ("wrap+sub", frozenset(["mega", "block"])),
+    ("wrap+blk", frozenset(["mega"])),
+    ("mega    ", frozenset()),
+]
+
+
+def bench_xfmr():
+    # whole transformer (GN + proj wrapper + block) across the fusion ladder
     for C, H, W in [(320, 40, 64), (640, 20, 32), (1280, 10, 16)]:
         tt = TemporalTransformer(channels=C, heads=C // 64, dim_head=64,
                                  temporal_length=16, dtype=jnp.bfloat16)
         x = jax.random.normal(jax.random.PRNGKey(0), (B * 16, H, W, C),
                               jnp.bfloat16)
         p = tt.init(jax.random.PRNGKey(1), x[:16], 16)
-
-        fused_temporal._DISABLED = frozenset(["wrap"])
-        t_off = slope(lambda h, pp: tt.apply(pp, h, 16), x, p)
-        fused_temporal._DISABLED = frozenset()
-        t_on = slope(lambda h, pp: tt.apply(pp, h, 16), x, p)
-        print(f"temporal xfmr C={C:4d}: wrap-off {t_off:6.2f} ms  "
-              f"wrap-on {t_on:6.2f} ms (x{t_off / t_on:.2f})")
-
         st = SpatialTransformer(channels=C, heads=C // 64, dim_head=64,
                                 context_dim=1024, img_cross_attention=True,
                                 dtype=jnp.bfloat16)
         ctx = jax.random.normal(jax.random.PRNGKey(2), (B * 16, 93, 1024),
                                 jnp.bfloat16)
         ps = st.init(jax.random.PRNGKey(3), x[:16], ctx[:16])
-        fused_temporal._DISABLED = frozenset(["wrap"])
-        s_off = slope(lambda h, c, pp: st.apply(pp, h, c), x, ctx, ps)
+        for name, disabled in LADDER:
+            fused_temporal._DISABLED = disabled
+            t = slope(lambda h, pp: tt.apply(pp, h, 16), x, p)
+            s = slope(lambda h, c, pp: st.apply(pp, h, c), x, ctx, ps)
+            print(f"C={C:4d} {name}: temporal {t:7.2f} ms  spatial {s:7.2f} ms")
         fused_temporal._DISABLED = frozenset()
-        s_on = slope(lambda h, c, pp: st.apply(pp, h, c), x, ctx, ps)
-        print(f"spatial  xfmr C={C:4d}: wrap-off {s_off:6.2f} ms  "
-              f"wrap-on {s_on:6.2f} ms (x{s_off / s_on:.2f})")
 
 
 if __name__ == "__main__":
@@ -119,5 +121,5 @@ if __name__ == "__main__":
         bench_temporal()
     if what in ("spatial", "all"):
         bench_spatial()
-    if what in ("wrap", "all"):
-        bench_wrap()
+    if what in ("xfmr", "all"):
+        bench_xfmr()

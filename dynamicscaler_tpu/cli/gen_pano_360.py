@@ -184,8 +184,11 @@ def main(vargs: VArgs):
             phi_num=3, view_fov=110, merge_prev_step=2,
             upscale_factor=2, num_windows_w_2=4, num_windows_h_2=2,
         )
+    print(f"[setup] backend: {jax.devices()[0].platform} "
+          f"({len(jax.devices())} device(s))", flush=True)
     key = jax.random.PRNGKey(vargs.seed % (2**31))
     model = build_model(vargs)
+    print(f"[setup] model built at {time.time() - t_start:.1f}s", flush=True)
     mesh = None
     if vargs.data_parallel_devices > 1:
         from dynamicscaler_tpu.parallel.mesh import make_mesh, replicate

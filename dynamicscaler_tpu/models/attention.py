@@ -226,7 +226,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
+    def __call__(self, x, context=None, mask=None, params_only: bool = False):
         s1, b1 = LNParams(self.dim, name="norm1")()
         s2, b2 = LNParams(self.dim, name="norm2")()
         attn_kwargs = dict(
@@ -244,6 +244,15 @@ class BasicTransformerBlock(nn.Module):
             **attn_kwargs,
         )
         ffm = FeedForward(self.dim, dtype=self.dtype, name="ff")
+
+        if params_only:
+            # raw weight bundle for a caller-side fused mega kernel
+            # (ops/fused_mega.py); tree identical to the compute path
+            a1 = attn1(x, params_only=True)
+            a2 = attn2(x, context=context, params_only=True)
+            s3, b3 = LNParams(self.dim, name="norm3")()
+            ffp = ffm(x, params_only=True)
+            return (s1, b1, s2, b2, s3, b3), a1, a2, ffp
 
         inner = self.heads * self.dim_head
         N = x.shape[1]

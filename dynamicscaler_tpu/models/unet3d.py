@@ -34,7 +34,7 @@ from dynamicscaler_tpu.models.layers import (
     timestep_embedding,
 )
 from dynamicscaler_tpu.models.attention import BasicTransformerBlock
-from dynamicscaler_tpu.ops import fused_twrap
+from dynamicscaler_tpu.ops import fused_mega, fused_twrap
 
 
 # ---------------------------------------------------------------------------
@@ -227,9 +227,8 @@ class SpatialTransformer(nn.Module):
         # declared via holder twins so the tree matches GroupNorm32/Dense
         gs, gb = GNParams(C, name="norm")()
         w_in, b_in = ProjParams(C, inner, use_bias=True, name="proj_in")()
-        h = fused_twrap.gn_proj_in_spatial(x.astype(self.dtype), gs, gb, w_in, b_in)
-        for d in range(self.depth):
-            h = BasicTransformerBlock(
+        blocks = [
+            BasicTransformerBlock(
                 dim=inner,
                 heads=self.heads,
                 dim_head=self.dim_head,
@@ -237,10 +236,30 @@ class SpatialTransformer(nn.Module):
                 img_cross_attention=self.img_cross_attention,
                 dtype=self.dtype,
                 name=f"block{d}",
-            )(h, context=context)
+            )
+            for d in range(self.depth)
+        ]
         w_out, b_out = ProjParams(
             inner, C, use_bias=True, zero_init=True, name="proj_out"
         )()
+        xd = x.astype(self.dtype)
+        if (
+            self.depth == 1
+            and context is not None
+            and fused_mega.spatial_ok(H * W, C, inner, self.heads, context.shape[-1])
+        ):
+            # whole transformer in ONE kernel (ops/fused_mega.py)
+            lns, a1, a2, ffp = blocks[0](
+                jnp.zeros((1, 1, inner), self.dtype), context=context,
+                params_only=True,
+            )
+            return fused_mega.spatial_transformer(
+                xd, context, gs, gb, w_in, b_in, lns, a1, a2, ffp,
+                w_out, b_out, heads=self.heads, scale=self.dim_head**-0.5,
+            )
+        h = fused_twrap.gn_proj_in_spatial(xd, gs, gb, w_in, b_in)
+        for blk in blocks:
+            h = blk(h, context=context)
         return fused_twrap.tail_spatial(h, x_in.astype(self.dtype), w_out, b_out)
 
 
@@ -272,7 +291,22 @@ class TemporalTransformer(nn.Module):
         # the param tree identical to GroupNorm32/Dense
         gs, gb = GNParams(C, name="norm")()
         w_in, b_in = ProjParams(C, inner, use_bias=True, name="proj_in")()
-        h = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
+        blocks = [
+            BasicTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                context_dim=None,
+                relative_position=self.relative_position,
+                temporal_length=self.temporal_length,
+                dtype=self.dtype,
+                name=f"block{d}",
+            )
+            for d in range(self.depth)
+        ]
+        w_out, b_out = ProjParams(
+            inner, C, use_bias=True, zero_init=True, name="proj_out"
+        )()
 
         mask = None
         if self.causal_attention:
@@ -283,21 +317,26 @@ class TemporalTransformer(nn.Module):
             # (attention.py:348-363 cross path is dead for them).
             raise NotImplementedError("cross-attn temporal transformer unused by shipped configs")
 
-        for d in range(self.depth):
-            h = BasicTransformerBlock(
-                dim=inner,
-                heads=self.heads,
-                dim_head=self.dim_head,
-                context_dim=None,
-                relative_position=self.relative_position,
-                temporal_length=self.temporal_length,
-                dtype=self.dtype,
-                name=f"block{d}",
-            )(h, mask=mask)
+        if (
+            self.depth == 1
+            and mask is None
+            and not self.relative_position
+            and fused_mega.temporal_ok(F, C, inner, self.heads, H, W)
+        ):
+            # whole transformer in ONE kernel (ops/fused_mega.py)
+            lns, a1, a2, ffp = blocks[0](
+                jnp.zeros((1, 1, inner), self.dtype), params_only=True
+            )
+            h5 = fused_mega.temporal_transformer(
+                x5, gs, gb, w_in, b_in, lns, a1, a2, ffp, w_out, b_out,
+                heads=self.heads, scale=self.dim_head**-0.5,
+            )
+            return h5.reshape(BF, H, W, C)
 
-        w_out, b_out = ProjParams(
-            inner, C, use_bias=True, zero_init=True, name="proj_out"
-        )()
+        h = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
+        for blk in blocks:
+            h = blk(h, mask=mask)
+
         h5 = fused_twrap.tail_temporal(h, x5, w_out, b_out)
         return h5.reshape(BF, H, W, C)
 

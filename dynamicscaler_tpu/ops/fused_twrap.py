@@ -78,11 +78,11 @@ def group_norm_fold(x5, scale, bias, num_groups: int = 32, eps: float = 1e-6):
 
 
 def _head_kernel(x_ref, mul_ref, add_ref, w_ref, b_ref, o_ref, *, permute: bool):
-    # x block: [1, F, TH, W, C] (temporal, permute=True)
-    #       or [TB, N, C]       (spatial,  permute=False)
+    # x block: [F, TH, W, C] (temporal, permute=True; one b per grid row)
+    #       or [TB, N, C]    (spatial,  permute=False)
     if permute:
-        _, F, TH, W, C = x_ref.shape
-        x = x_ref[0].reshape(F, TH * W, C)
+        F, TH, W, C = x_ref.shape
+        x = x_ref[:].reshape(F, TH * W, C)
         xn = x.astype(jnp.float32) * mul_ref[0][None, None] + add_ref[0][None, None]
         h = jnp.transpose(xn.astype(o_ref.dtype), (1, 0, 2))  # [THW, F, C]
         R, T = TH * W, F
@@ -106,7 +106,7 @@ def _head_kernel(x_ref, mul_ref, add_ref, w_ref, b_ref, o_ref, *, permute: bool)
 
 def _tail_kernel(y_ref, x_ref, w_ref, b_ref, o_ref, *, permute: bool):
     # y block: [THW, F, Ci] / [TB, N, Ci]; x (residual, native layout):
-    # [1, F, TH, W, C] / [TB, N, C]; out matches x.
+    # [F, TH, W, C] / [TB, N, C]; out matches x.
     R, T, Ci = y_ref.shape
     C = w_ref.shape[1]
     o = jnp.dot(
@@ -114,9 +114,9 @@ def _tail_kernel(y_ref, x_ref, w_ref, b_ref, o_ref, *, permute: bool):
     )
     o = (o + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
     if permute:
-        _, F, TH, W, _ = x_ref.shape
+        F, TH, W, _ = x_ref.shape
         o = jnp.transpose(o.reshape(R, T, C), (1, 0, 2))  # [F, THW, C]
-        o_ref[:] = (o.reshape(1, F, TH, W, C) + x_ref[:]).astype(o_ref.dtype)
+        o_ref[:] = (o.reshape(F, TH, W, C) + x_ref[:]).astype(o_ref.dtype)
     else:
         o_ref[:] = (o.reshape(R, T, C) + x_ref[:]).astype(o_ref.dtype)
 
@@ -150,12 +150,13 @@ def _head_temporal(x5, mul, add, w, b, *, interpret):
     Ci = w.shape[1]
     TH = _h_tile(F, H, W, C, Ci, x5.dtype.itemsize)
     grid = (B, H // TH)
+    x4 = x5.reshape(B * F, H, W, C)  # 4-D blocks: (F, TH, W, C) per (b, i)
     out = pl.pallas_call(
         functools.partial(_head_kernel, permute=True),
         out_shape=jax.ShapeDtypeStruct((B * H * W, F, Ci), x5.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, F, TH, W, C), lambda bq, i: (bq, 0, i, 0, 0),
+            pl.BlockSpec((F, TH, W, C), lambda bq, i: (bq, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
@@ -179,7 +180,7 @@ def _head_temporal(x5, mul, add, w, b, *, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x5, mul, add, w, b)
+    )(x4, mul, add, w, b)
     return out
 
 
@@ -189,12 +190,13 @@ def _tail_temporal(y, x5, w, b, *, interpret):
     Ci = y.shape[-1]
     TH = _h_tile(F, H, W, C, Ci, x5.dtype.itemsize)
     grid = (B, H // TH)
+    x4 = x5.reshape(B * F, H, W, C)
     x_spec = pl.BlockSpec(
-        (1, F, TH, W, C), lambda bq, i: (bq, 0, i, 0, 0), memory_space=pltpu.VMEM
+        (F, TH, W, C), lambda bq, i: (bq, i, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_tail_kernel, permute=True),
-        out_shape=jax.ShapeDtypeStruct((B, F, H, W, C), x5.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * F, H, W, C), x5.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -219,8 +221,8 @@ def _tail_temporal(y, x5, w, b, *, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(y, x5, w, b)
-    return out
+    )(y, x4, w, b)
+    return out.reshape(B, F, H, W, C)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
