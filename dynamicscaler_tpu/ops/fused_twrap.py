@@ -138,12 +138,6 @@ def _tb_tile(N: int, C: int, Ci: int, itemsize: int) -> int:
     return min(16, max(1, budget // per_row))
 
 
-def head_fusable(C: int, Ci: int) -> bool:
-    if not _enabled():
-        return False
-    return C % 128 == 0 or C in (320, 640)  # lane-padded C is fine; keep sane
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _head_temporal(x5, mul, add, w, b, *, interpret):
     B, F, H, W, C = x5.shape
