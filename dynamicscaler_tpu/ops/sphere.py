@@ -330,7 +330,9 @@ def add_view_bilinear(
     wfl = weight_accum.reshape(B, F, H * W, 1)
     vflat = view.reshape(Bv, Fv, h * w, C)
     for vi, ui, wgt in corners:
-        idx = (vi % H * 0 + jnp.clip(vi, 0, H - 1)) * W + (ui % W)
+        # v clamps at the poles, u wraps around the ring
+        # (panorama_tensor_utils.py:98-152 splat semantics)
+        idx = jnp.clip(vi, 0, H - 1) * W + (ui % W)
         idx = idx.reshape(-1)
         wg = wgt.reshape(-1)
         pflat = pflat.at[:, :, idx, :].add(vflat * wg[None, None, :, None])
