@@ -66,6 +66,43 @@ def test_mega_param_tree_unchanged():
     assert p_off == p_on
 
 
+def test_l3_routing_wrap_block_parity():
+    """C=1280-style routing (mega gated off): temporal wrap+block kernels
+    with the odd TH=5 tile (H=10, W=16 — the real L3 geometry), and
+    spatial N=160 (block gate excludes N<256 -> wrap + cross/ff kernels)."""
+    tt = TemporalTransformer(
+        channels=128, heads=2, dim_head=64, temporal_length=16,
+        dtype=jnp.bfloat16,
+    )
+    x = _rand(0, (2 * 16, 10, 16, 128), jnp.bfloat16)
+    fused_temporal.set_mode("off")
+    p = tt.init(jax.random.PRNGKey(1), x, 16)
+    ref = tt.apply(p, x, 16)
+    fused_temporal.set_mode("interpret")
+    try:
+        fused_temporal._DISABLED = frozenset(["mega"])
+        got = tt.apply(p, x, 16)
+    finally:
+        fused_temporal._DISABLED = frozenset()
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+    st = SpatialTransformer(
+        channels=128, heads=2, dim_head=64, context_dim=128,
+        img_cross_attention=True, dtype=jnp.bfloat16,
+    )
+    ctx = _rand(3, (2 * 16, 93, 128), jnp.bfloat16)
+    fused_temporal.set_mode("off")
+    ps = st.init(jax.random.PRNGKey(4), x, ctx)
+    refs = st.apply(ps, x, ctx)
+    fused_temporal.set_mode("interpret")
+    gots = st.apply(ps, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(gots, np.float32), np.asarray(refs, np.float32), atol=2e-2
+    )
+
+
 def test_mega_disable_falls_back_to_block_path():
     """DSCALER_FUSE_DISABLE=mega must route through the wrapper + block
     kernels with identical results."""
