@@ -154,15 +154,15 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, num_frames: int):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        gs, gb = GNParams(in_ch, name="in_norm")()
+        h = fused_twrap.gn_silu(x, gs, gb)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + emb_out[:, None, None, :]
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        gs2, gb2 = GNParams(self.out_channels, name="out_norm")()
+        h = fused_twrap.gn_silu(h, gs2, gb2)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, name="out_conv",
@@ -192,8 +192,8 @@ class TemporalConvBlock(nn.Module):
     def __call__(self, x):
         identity = x
         for idx in range(4):
-            x = GroupNorm32(name=f"norm{idx + 1}")(x)
-            x = nn.silu(x)
+            gs, gb = GNParams(self.channels, name=f"norm{idx + 1}")()
+            x = fused_twrap.gn_silu(x, gs, gb)
             x = nn.Conv(
                 self.channels,
                 (3, 1, 1),

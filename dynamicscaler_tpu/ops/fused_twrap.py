@@ -359,6 +359,69 @@ def gn_proj_in_spatial(x4, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
     ).astype(x4.dtype)
 
 
+def _gn_silu_kernel(x_ref, mul_ref, add_ref, o_ref):
+    # x block [1, TM, C]; mul/add [1, C] for this sample
+    x = x_ref[:]
+    h = x.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None]
+    o_ref[:] = (h * jax.nn.sigmoid(h)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gn_silu_call(x3, mul, add, *, interpret):
+    B, M, C = x3.shape
+    TM = max(1, min(M, (8 * 1024 * 1024) // (C * 8)))
+    while M % TM:
+        TM -= 1
+    out = pl.pallas_call(
+        _gn_silu_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, M, C), x3.dtype),
+        grid=(B, M // TM),
+        in_specs=[
+            pl.BlockSpec((1, TM, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TM, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * M * C,
+            bytes_accessed=2 * B * M * C * x3.dtype.itemsize,
+            transcendentals=B * M * C,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3, mul, add)
+    return out
+
+
+def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5):
+    """GroupNorm(32) -> SiLU as one elementwise pass with precomputed
+    folded statistics (the ResBlock / TemporalConvBlock prologue,
+    openaimodel3d.py:115-309). x: [B, *spatial, C], stats per sample B.
+    Kill switch: DSCALER_FUSE_DISABLE=gnsilu."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    mul, add = group_norm_fold(x, gn_scale, gn_bias, eps=eps)
+    use_kernel = (
+        _mode() != "off"
+        and not fused_temporal.kernel_disabled("gnsilu")
+        and (_mode() == "interpret" or fused_temporal._tpu_available())
+    )
+    if use_kernel:
+        x3 = x.reshape(B, -1, C)
+        out = _gn_silu_call(x3, mul, add, interpret=_mode() == "interpret")
+        return out.reshape(x.shape)
+    bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
+    h = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
+    return (h * jax.nn.sigmoid(h)).astype(x.dtype)
+
+
 def tail_spatial(y, x4, w, b):
     """proj_out -> + residual: [BF,N,Ci], [BF,H,W,C] -> [BF,H,W,C]."""
     BF, H, W, C = x4.shape

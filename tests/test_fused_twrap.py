@@ -91,6 +91,30 @@ def test_head_tail_spatial_interpret_vs_fallback():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
 
 
+def test_gn_silu_interpret_vs_fallback_and_flax():
+    import flax.linen as nn
+
+    x = _rand(0, (3, 4, 8, 16, 64))  # TemporalConvBlock-shaped input
+    gs = 1.0 + 0.1 * _rand(1, (64,))
+    gb = 0.1 * _rand(2, (64,))
+
+    fused_temporal.set_mode("off")
+    ref = fused_twrap.gn_silu(x, gs, gb)
+    fused_temporal.set_mode("interpret")
+    got = fused_twrap.gn_silu(x, gs, gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # vs flax GroupNorm + silu (the unfused module semantics)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    flax_ref = jax.nn.silu(
+        gn.apply({"params": {"scale": gs, "bias": gb}},
+                 x.reshape(3, -1, 64)).reshape(x.shape)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(flax_ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_transformer_modules_kernel_vs_fallback():
     """Whole Spatial/TemporalTransformer: interpret-kernel path equals the
     pure-jnp path on the same params."""
