@@ -21,10 +21,17 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dynamicscaler_tpu.config import VAEConfig
+from dynamicscaler_tpu.models.layers import LNParams
+from dynamicscaler_tpu.ops import fused_twrap
 
 
-def _gn(name):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name=name)
+def _gn_silu(x, name, act=True):
+    """GroupNorm(32, eps=1e-6) [-> swish] via folded statistics + one
+    fused elementwise pass on TPU (ops/fused_twrap.gn_silu); LNParams
+    holder keeps the flat {scale, bias} param path of nn.GroupNorm.
+    Must be called from within an @nn.compact method."""
+    s, b = LNParams(x.shape[-1], name=name)()
+    return fused_twrap.gn_silu(x, s, b, eps=1e-6, act=act)
 
 
 class ResnetBlock(nn.Module):
@@ -34,11 +41,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = _gn("norm1")(x.astype(jnp.float32)).astype(self.dtype)
-        h = nn.swish(h)
+        h = _gn_silu(x.astype(self.dtype), "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = _gn("norm2")(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.swish(h)
+        h = _gn_silu(h, "norm2")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -55,7 +60,7 @@ class AttnBlock(nn.Module):
         B, H, W, C = x.shape
         from dynamicscaler_tpu.ops.attention import attention as fused_attention
 
-        h = _gn("norm")(x.astype(jnp.float32)).astype(self.dtype)
+        h = _gn_silu(x.astype(self.dtype), "norm", act=False)
         q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, 1, H * W, C)
         k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, 1, H * W, C)
         v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, 1, H * W, C)
@@ -110,8 +115,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = _gn("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.swish(h)
+        h = _gn_silu(h, "norm_out")
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -138,8 +142,7 @@ class Decoder(nn.Module):
                 )(h)
             if i_level != 0:
                 h = Upsample2D(h.shape[-1], dtype=self.dtype, name=f"up{i_level}_upsample")(h)
-        h = _gn("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.swish(h)
+        h = _gn_silu(h, "norm_out")
         return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 

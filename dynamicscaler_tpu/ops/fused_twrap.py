@@ -359,21 +359,23 @@ def gn_proj_in_spatial(x4, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
     ).astype(x4.dtype)
 
 
-def _gn_silu_kernel(x_ref, mul_ref, add_ref, o_ref):
+def _gn_silu_kernel(x_ref, mul_ref, add_ref, o_ref, *, act: bool):
     # x block [1, TM, C]; mul/add [1, C] for this sample
     x = x_ref[:]
     h = x.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None]
-    o_ref[:] = (h * jax.nn.sigmoid(h)).astype(o_ref.dtype)
+    if act:
+        h = h * jax.nn.sigmoid(h)
+    o_ref[:] = h.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gn_silu_call(x3, mul, add, *, interpret):
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def _gn_silu_call(x3, mul, add, *, act, interpret):
     B, M, C = x3.shape
     TM = max(1, min(M, (8 * 1024 * 1024) // (C * 8)))
     while M % TM:
         TM -= 1
     out = pl.pallas_call(
-        _gn_silu_kernel,
+        functools.partial(_gn_silu_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((B, M, C), x3.dtype),
         grid=(B, M // TM),
         in_specs=[
@@ -400,10 +402,11 @@ def _gn_silu_call(x3, mul, add, *, interpret):
     return out
 
 
-def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5):
-    """GroupNorm(32) -> SiLU as one elementwise pass with precomputed
+def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5, act: bool = True):
+    """GroupNorm(32) [-> SiLU] as one elementwise pass with precomputed
     folded statistics (the ResBlock / TemporalConvBlock prologue,
-    openaimodel3d.py:115-309). x: [B, *spatial, C], stats per sample B.
+    openaimodel3d.py:115-309; VAE resnet/attn norms with eps=1e-6,
+    ae_modules.py:19-23). x: [B, *spatial, C], stats per sample B.
     Kill switch: DSCALER_FUSE_DISABLE=gnsilu."""
     B = x.shape[0]
     C = x.shape[-1]
@@ -415,11 +418,13 @@ def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5):
     )
     if use_kernel:
         x3 = x.reshape(B, -1, C)
-        out = _gn_silu_call(x3, mul, add, interpret=_mode() == "interpret")
+        out = _gn_silu_call(x3, mul, add, act=act, interpret=_mode() == "interpret")
         return out.reshape(x.shape)
     bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
     h = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
-    return (h * jax.nn.sigmoid(h)).astype(x.dtype)
+    if act:
+        h = h * jax.nn.sigmoid(h)
+    return h.astype(x.dtype)
 
 
 def tail_spatial(y, x4, w, b):
