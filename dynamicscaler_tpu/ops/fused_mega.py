@@ -95,9 +95,9 @@ def _t_mega_kernel(
     F, TH, W, C = x_ref.shape
     R = TH * W
     x = x_ref[:].reshape(F, R, C)
+    # mul/add blocks are [1, 1, C] (unit sublane axis for Mosaic legality)
     xn = (
-        x.astype(jnp.float32) * mul_ref[0][None, None]
-        + add_ref[0][None, None]
+        x.astype(jnp.float32) * mul_ref[:] + add_ref[:]
     ).astype(x.dtype)
     h3 = jnp.transpose(xn, (1, 0, 2))  # [R, F, C] — VMEM-internal permute
     Ci = wi_ref.shape[1]
@@ -127,10 +127,12 @@ def _t_mega_call(x5, mul, add, w_in, b_in, lns, a1, a2, ff, w_out, b_out, *,
     TH = _t_th(F, H, W, C)
     x4 = x5.reshape(B * F, H, W, C)
     H2 = ff[0].shape[1]
+    mul, add = mul[:, None, :], add[:, None, :]
 
     x_spec = pl.BlockSpec((F, TH, W, C), lambda bq, i: (bq, i, 0, 0),
                           memory_space=pltpu.VMEM)
-    gn_spec = pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM)
+    gn_spec = pl.BlockSpec((1, 1, C), lambda bq, i: (bq, 0, 0),
+                           memory_space=pltpu.VMEM)
     w_cc = pl.BlockSpec((Ci, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM)
     s1, b1, s2, b2, s3, b3 = lns
@@ -246,8 +248,9 @@ def _s_mega_kernel(*refs, heads, scale, eps, text_len, img_len, has_img):
         a2 = (q2, k2, v2, o2, c2)
     TB, N, C = x_ref.shape
     x = x_ref[:]
+    # mul/add blocks are [TB, 1, C] (unit sublane axis for Mosaic legality)
     xn = (
-        x.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None]
+        x.astype(jnp.float32) * mul_ref[:] + add_ref[:]
     ).astype(x.dtype)
     Ci = wi_ref.shape[1]
     T = TB * N
@@ -292,9 +295,10 @@ def _s_mega_call(x3, mul, add, ctx_t, ctx_i, w_in, b_in, lns, a1, a2, ff,
             ctx_i = jnp.pad(ctx_i, ((0, pad), (0, 0), (0, 0)))
     Bp = B + pad
     H2 = ff[0].shape[1]
+    mul, add = mul[:, None, :], add[:, None, :]
 
     x_spec = pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    gn_spec = pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    gn_spec = pl.BlockSpec((TB, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ctxt_spec = pl.BlockSpec((TB, Lt, Dc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     w_cc = pl.BlockSpec((Ci, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM)
     w_dc = pl.BlockSpec((Dc, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM)

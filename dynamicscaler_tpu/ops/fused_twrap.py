@@ -80,20 +80,18 @@ def group_norm_fold(x5, scale, bias, num_groups: int = 32, eps: float = 1e-6):
 def _head_kernel(x_ref, mul_ref, add_ref, w_ref, b_ref, o_ref, *, permute: bool):
     # x block: [F, TH, W, C] (temporal, permute=True; one b per grid row)
     #       or [TB, N, C]    (spatial,  permute=False)
+    # mul/add blocks are [1, 1, C] / [TB, 1, C]: per-sample GN vectors ride
+    # a unit sublane axis (Mosaic requires block sublane dims %8 or == array)
     if permute:
         F, TH, W, C = x_ref.shape
         x = x_ref[:].reshape(F, TH * W, C)
-        xn = x.astype(jnp.float32) * mul_ref[0][None, None] + add_ref[0][None, None]
+        xn = x.astype(jnp.float32) * mul_ref[:] + add_ref[:]
         h = jnp.transpose(xn.astype(o_ref.dtype), (1, 0, 2))  # [THW, F, C]
         R, T = TH * W, F
     else:
         TB, N, C = x_ref.shape
         x = x_ref[:]
-        # per-sample GN vectors: [TB, C] broadcast over tokens
-        xn = (
-            x.astype(jnp.float32) * mul_ref[:][:, None]
-            + add_ref[:][:, None]
-        )
+        xn = x.astype(jnp.float32) * mul_ref[:] + add_ref[:]
         h = xn.astype(o_ref.dtype)
         R, T = TB, N
     Ci = w_ref.shape[1]
@@ -145,6 +143,7 @@ def _head_temporal(x5, mul, add, w, b, *, interpret):
     TH = _h_tile(F, H, W, C, Ci, x5.dtype.itemsize)
     grid = (B, H // TH)
     x4 = x5.reshape(B * F, H, W, C)  # 4-D blocks: (F, TH, W, C) per (b, i)
+    mul, add = mul[:, None, :], add[:, None, :]
     out = pl.pallas_call(
         functools.partial(_head_kernel, permute=True),
         out_shape=jax.ShapeDtypeStruct((B * H * W, F, Ci), x5.dtype),
@@ -152,8 +151,8 @@ def _head_temporal(x5, mul, add, w, b, *, interpret):
         in_specs=[
             pl.BlockSpec((F, TH, W, C), lambda bq, i: (bq, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda bq, i: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda bq, i: (bq, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda bq, i: (bq, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Ci), lambda bq, i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -230,14 +229,15 @@ def _head_spatial(x3, mul, add, w, b, *, interpret):
         mul = jnp.pad(mul, ((0, pad), (0, 0)))
         add = jnp.pad(add, ((0, pad), (0, 0)))
     Bp = B + pad
+    mul, add = mul[:, None, :], add[:, None, :]
     out = pl.pallas_call(
         functools.partial(_head_kernel, permute=False),
         out_shape=jax.ShapeDtypeStruct((Bp, N, Ci), x3.dtype),
         grid=(Bp // TB,),
         in_specs=[
             pl.BlockSpec((TB, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -360,9 +360,9 @@ def gn_proj_in_spatial(x4, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
 
 
 def _gn_silu_kernel(x_ref, mul_ref, add_ref, o_ref, *, act: bool):
-    # x block [1, TM, C]; mul/add [1, C] for this sample
+    # x block [1, TM, C]; mul/add [1, 1, C] for this sample
     x = x_ref[:]
-    h = x.astype(jnp.float32) * mul_ref[:][:, None] + add_ref[:][:, None]
+    h = x.astype(jnp.float32) * mul_ref[:] + add_ref[:]
     if act:
         h = h * jax.nn.sigmoid(h)
     o_ref[:] = h.astype(o_ref.dtype)
@@ -371,17 +371,23 @@ def _gn_silu_kernel(x_ref, mul_ref, add_ref, o_ref, *, act: bool):
 @functools.partial(jax.jit, static_argnames=("act", "interpret"))
 def _gn_silu_call(x3, mul, add, *, act, interpret):
     B, M, C = x3.shape
-    TM = max(1, min(M, (8 * 1024 * 1024) // (C * 8)))
-    while M % TM:
-        TM -= 1
+    # Mosaic: the block's sublane dim (TM) must be %8 or equal to M
+    cap = max(8, min(M, (8 * 1024 * 1024) // (C * 8)))
+    TM = M
+    if M % 8 == 0:
+        for cand in range(cap - cap % 8, 7, -8):
+            if M % cand == 0:
+                TM = cand
+                break
+    mul, add = mul[:, None, :], add[:, None, :]
     out = pl.pallas_call(
         functools.partial(_gn_silu_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((B, M, C), x3.dtype),
         grid=(B, M // TM),
         in_specs=[
             pl.BlockSpec((1, TM, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, TM, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
