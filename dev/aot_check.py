@@ -130,12 +130,42 @@ def check_unet():
         return False
 
 
+def check_vae():
+    """The VAE's fused GroupNorm(+swish) chains (models/vae.py _gn_silu ->
+    ops/fused_twrap.gn_silu) are a Pallas consumer distinct from the UNet:
+    eps=1e-6, much larger token counts (decode 320x512 px/frame)."""
+    from dynamicscaler_tpu.config import videocrafter_i2v
+    from dynamicscaler_tpu.models.vae import AutoencoderKL
+
+    cfg = videocrafter_i2v(dtype="bfloat16")
+    vae = AutoencoderKL(cfg.vae, dtype=jnp.bfloat16)
+    img = jnp.zeros((2, 320, 512, 3), jnp.bfloat16)
+    lat = jnp.zeros((2, 40, 64, cfg.vae.embed_dim), jnp.bfloat16)
+    p = jax.eval_shape(lambda: vae.init(jax.random.PRNGKey(0), img[:1, :64, :64]))
+    p = jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), p)
+    ok = True
+    for label, fn, args in [
+        ("vae encode 320x512", lambda pp, im: vae.apply(pp, im, method=vae.encode), (p, img)),
+        ("vae decode 40x64  ", lambda pp, z: vae.apply(pp, z, method=vae.decode), (p, lat)),
+    ]:
+        try:
+            compile_fn(fn, *args)
+            print(f"{label}: OK")
+        except Exception as e:
+            ok = False
+            print(f"{label}: FAIL {type(e).__name__}: "
+                  f"{str(e).replace(chr(10), ' | ')[:400]}")
+    return ok
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     only_c = int(sys.argv[2]) if len(sys.argv) > 2 else None
     ok = True
     if what in ("blocks", "all"):
         ok &= check_blocks(only_c)
+    if what in ("vae", "all"):
+        ok &= check_vae()
     if what in ("unet", "all"):
         ok &= check_unet()
     sys.exit(0 if ok else 1)
