@@ -223,6 +223,7 @@ class BasicTransformerBlock(nn.Module):
     img_cross_attention: bool = False
     relative_position: bool = False
     temporal_length: Optional[int] = None
+    text_context_len: int = 77
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -241,6 +242,7 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
             context_dim=self.context_dim,
             img_cross_attention=self.img_cross_attention,
+            text_context_len=self.text_context_len,
             **attn_kwargs,
         )
         ffm = FeedForward(self.dim, dtype=self.dtype, name="ff")
@@ -282,7 +284,8 @@ class BasicTransformerBlock(nn.Module):
                     xd, lns, a1, a2, ffp, heads=self.heads, scale=scale
                 )
             return fused_block.fused_spatial_block(
-                xd, context, lns, a1, a2, ffp, heads=self.heads, scale=scale
+                xd, context, lns, a1, a2, ffp, heads=self.heads, scale=scale,
+                text_len=self.text_context_len,
             )
 
         x = attn1(x, mask=mask, ln=(s1, b1), add_residual=True)

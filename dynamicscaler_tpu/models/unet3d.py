@@ -28,7 +28,6 @@ import flax.linen as nn
 from dynamicscaler_tpu.config import UNetConfig
 from dynamicscaler_tpu.models.layers import (
     GNParams,
-    GroupNorm32,
     MLPEmbed,
     ProjParams,
     timestep_embedding,
@@ -215,6 +214,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: Optional[int] = None
     img_cross_attention: bool = False
+    text_context_len: int = 77
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -234,6 +234,7 @@ class SpatialTransformer(nn.Module):
                 dim_head=self.dim_head,
                 context_dim=self.context_dim,
                 img_cross_attention=self.img_cross_attention,
+                text_context_len=self.text_context_len,
                 dtype=self.dtype,
                 name=f"block{d}",
             )
@@ -256,6 +257,7 @@ class SpatialTransformer(nn.Module):
             return fused_mega.spatial_transformer(
                 xd, context, gs, gb, w_in, b_in, lns, a1, a2, ffp,
                 w_out, b_out, heads=self.heads, scale=self.dim_head**-0.5,
+                text_len=self.text_context_len,
             )
         h = fused_twrap.gn_proj_in_spatial(xd, gs, gb, w_in, b_in)
         for blk in blocks:
@@ -271,6 +273,9 @@ class TemporalTransformer(nn.Module):
     heads: int
     dim_head: int
     depth: int = 1
+    # use_linear only signals the converter-side weight layout (Conv1d vs
+    # Linear proj_in/out in the torch ckpt, utils/weights.py conv1d_as_dense);
+    # the compute path is identical Dense either way.
     use_linear: bool = True
     only_self_att: bool = True
     causal_attention: bool = False
@@ -390,6 +395,7 @@ class UNet3D(nn.Module):
                 spec.channels, heads, cfg.num_head_channels,
                 depth=cfg.transformer_depth, context_dim=cfg.context_dim,
                 img_cross_attention=cfg.use_image_attention,
+                text_context_len=cfg.text_context_len,
                 dtype=self.dtype, name=spec.name,
             )
         if spec.kind == "temporal":
@@ -432,7 +438,9 @@ class UNet3D(nn.Module):
                 dtype=self.dtype, name="init_attn",
             )
 
-        self.out_norm = GroupNorm32(name="out_norm")
+        # GN+SiLU folded into one fused elementwise pass like every other
+        # ResBlock/VAE chain; GNParams keeps the tree identical to GroupNorm32
+        self.out_norm = GNParams(cfg.model_channels, name="out_norm")
         self.out_conv = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, name="out_conv",
@@ -494,8 +502,8 @@ class UNet3D(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_specs(specs, layers, h, emb, ctx, F, no_temporal_attn)
 
-        h = self.out_norm(h)
-        h = nn.silu(h)
+        gs_out, gb_out = self.out_norm()
+        h = fused_twrap.gn_silu(h, gs_out, gb_out, eps=1e-5)
         y = self.out_conv(h)
         y = y.astype(jnp.float32)
         return y.reshape(B, F, H, W, cfg.out_channels)

@@ -382,11 +382,12 @@ def _spatial_block_kernel(*refs, heads, scale, eps, text_len, img_len,
     out_ref[:] = h.reshape(TB, N, C)
 
 
-def _s_row_tile(N: int, C: int, itemsize: int) -> int:
+def _s_row_tile(N: int, C: int, itemsize: int, copies: int = 14) -> int:
     # fp32 [N, N] logits + the fp32 [TB*N, 8C] GEGLU transient dominate;
-    # qkv copies ride alongside
+    # activation copies (qkv etc.; the mega kernel adds proj_in/out) ride
+    # alongside. Shared with ops/fused_mega.py.
     budget = 40 * 1024 * 1024
-    per_row = N * N * 4 + 8 * N * C * 4 + 14 * N * C * itemsize
+    per_row = N * N * 4 + 8 * N * C * 4 + copies * N * C * itemsize
     return min(8, max(1, budget // per_row))
 
 
@@ -473,15 +474,12 @@ def _seg16(n: int) -> int:
     return max(16, -(-n // 16) * 16)
 
 
-def fused_spatial_block(x, ctx, lns, attn1, attn2, ff, *, heads, scale,
-                        text_len: int = 77, eps: float = 1e-5):
-    """x: [B, N, C] tokens; ctx: [B, L, Dc] (text[:text_len]; image rest),
-    or None for pure self attn2 — not supported here (use temporal).
-    attn1: (wq,wk,wv,wo,bo); attn2: (wq,wk,wv,wo,bo) or
-    (wq,wk,wv,wk_ip,wv_ip,wo,bo); ff: (w1,b1,w2,b2)."""
-    B, N, C = x.shape
-    dt = x.dtype
-    has_img = len(attn2) == 7
+def prepare_context(ctx, text_len: int, has_img: bool, dt):
+    """Split a [B, L, Dc] context into sublane-aligned (padded to %16)
+    text / image operands for the dual-KV cross attention. Returns
+    (ctx_t, ctx_i, text_len, img_len); padded key columns are masked
+    inside the kernels via text_len/img_len. Shared by the spatial
+    whole-block (here) and mega (ops/fused_mega.py) kernels."""
     ctx = ctx.astype(dt)
     if has_img:
         ctx_t = ctx[:, :text_len]
@@ -493,6 +491,19 @@ def fused_spatial_block(x, ctx, lns, attn1, attn2, ff, *, heads, scale,
         img_len = 0
         ctx_t, ctx_i = ctx, jnp.zeros((1, 1, 1), dt)
     ctx_t = jnp.pad(ctx_t, ((0, 0), (0, _seg16(text_len) - ctx_t.shape[1]), (0, 0)))
+    return ctx_t, ctx_i, text_len, img_len
+
+
+def fused_spatial_block(x, ctx, lns, attn1, attn2, ff, *, heads, scale,
+                        text_len: int = 77, eps: float = 1e-5):
+    """x: [B, N, C] tokens; ctx: [B, L, Dc] (text[:text_len]; image rest),
+    or None for pure self attn2 — not supported here (use temporal).
+    attn1: (wq,wk,wv,wo,bo); attn2: (wq,wk,wv,wo,bo) or
+    (wq,wk,wv,wk_ip,wv_ip,wo,bo); ff: (w1,b1,w2,b2)."""
+    B, N, C = x.shape
+    dt = x.dtype
+    has_img = len(attn2) == 7
+    ctx_t, ctx_i, text_len, img_len = prepare_context(ctx, text_len, has_img, dt)
 
     to2d = lambda t: t.reshape(1, -1).astype(jnp.float32)
     wcast = lambda t: t.astype(dt)

@@ -39,8 +39,10 @@ from dynamicscaler_tpu.ops.fused_block import (
     _cross_attn,
     _geglu,
     _ln,
+    _s_row_tile,
     _self_attn_blockdiag,
     _self_attn_full,
+    prepare_context,
 )
 from dynamicscaler_tpu.ops.fused_twrap import group_norm_fold
 
@@ -90,7 +92,7 @@ def _t_mega_kernel(
     s1, b1, q1, k1, v1, o1, c1,
     s2, b2, q2, k2, v2, o2, c2,
     s3, b3, w1, bb1, w2, bb2,
-    wo_ref, bo_ref, out_ref, *, heads, scale, gn_eps, eps,
+    wo_ref, bo_ref, out_ref, *, heads, scale, eps,
 ):
     F, TH, W, C = x_ref.shape
     R = TH * W
@@ -118,10 +120,10 @@ def _t_mega_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "gn_eps", "eps", "interpret")
+    jax.jit, static_argnames=("heads", "scale", "eps", "interpret")
 )
 def _t_mega_call(x5, mul, add, w_in, b_in, lns, a1, a2, ff, w_out, b_out, *,
-                 heads, scale, gn_eps, eps, interpret):
+                 heads, scale, eps, interpret):
     B, F, H, W, C = x5.shape
     Ci = w_in.shape[1]
     TH = _t_th(F, H, W, C)
@@ -159,7 +161,7 @@ def _t_mega_call(x5, mul, add, w_in, b_in, lns, a1, a2, ff, w_out, b_out, *,
     )
     out = pl.pallas_call(
         functools.partial(
-            _t_mega_kernel, heads=heads, scale=scale, gn_eps=gn_eps, eps=eps
+            _t_mega_kernel, heads=heads, scale=scale, eps=eps
         ),
         out_shape=jax.ShapeDtypeStruct((B * F, H, W, C), x5.dtype),
         grid=(B, H // TH),
@@ -200,7 +202,7 @@ def temporal_transformer(x5, gn_scale, gn_bias, w_in, b_in, lns, a1, a2, ff,
         tuple(wc(w) for w in a2[:4]) + (to2d(a2[4]),),
         (wc(ff[0]), to2d(ff[1]), wc(ff[2]), to2d(ff[3])),
         wc(w_out), to2d(b_out),
-        heads=heads, scale=float(scale), gn_eps=float(gn_eps),
+        heads=heads, scale=float(scale),
         eps=float(eps), interpret=_mode() == "interpret",
     )
 
@@ -208,13 +210,6 @@ def temporal_transformer(x5, gn_scale, gn_bias, w_in, b_in, lns, a1, a2, ff,
 # ---------------------------------------------------------------------------
 # spatial transformer mega kernel
 # ---------------------------------------------------------------------------
-
-
-def _s_tb(N: int, C: int) -> int:
-    # fp32 [N, N] logits + fp32 [TB*N, 8C] GEGLU transient + operand tiles
-    budget = 40 * 1024 * 1024
-    per_row = N * N * 4 + 8 * N * C * 4 + 16 * N * C * 2
-    return min(8, max(1, budget // per_row))
 
 
 def spatial_ok(N: int, C: int, inner: int, heads: int, ctx_dim: int) -> bool:
@@ -274,17 +269,18 @@ def _s_mega_kernel(*refs, heads, scale, eps, text_len, img_len, has_img):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "scale", "gn_eps", "eps", "text_len",
+    static_argnames=("heads", "scale", "eps", "text_len",
                      "img_len", "has_img", "interpret"),
 )
 def _s_mega_call(x3, mul, add, ctx_t, ctx_i, w_in, b_in, lns, a1, a2, ff,
-                 w_out, b_out, *, heads, scale, gn_eps, eps, text_len,
+                 w_out, b_out, *, heads, scale, eps, text_len,
                  img_len, has_img, interpret):
     B, N, C = x3.shape
     Ci = w_in.shape[1]
     Lt, Dc = ctx_t.shape[1:]
     Li = ctx_i.shape[1] if has_img else 0
-    TB = _s_tb(N, max(C, Ci))
+    # the mega kernel carries ~2 extra activation copies (proj_in/out)
+    TB = _s_row_tile(N, max(C, Ci), x3.dtype.itemsize, copies=16)
     pad = (-B) % TB
     if pad:
         x3 = jnp.pad(x3, ((0, pad), (0, 0), (0, 0)))
@@ -364,10 +360,6 @@ def _s_mega_call(x3, mul, add, ctx_t, ctx_i, w_in, b_in, lns, a1, a2, ff,
     return out[:B] if pad else out
 
 
-def _seg16(n: int) -> int:
-    return max(16, -(-n // 16) * 16)
-
-
 def spatial_transformer(x4, ctx, gn_scale, gn_bias, w_in, b_in, lns, a1, a2,
                         ff, w_out, b_out, *, heads, scale,
                         text_len: int = 77, gn_eps: float = 1e-6,
@@ -380,17 +372,7 @@ def spatial_transformer(x4, ctx, gn_scale, gn_bias, w_in, b_in, lns, a1, a2,
     mul, add = group_norm_fold(x4, gn_scale, gn_bias, eps=gn_eps)
     x3 = x4.reshape(BF, H * W, C)
     has_img = len(a2) == 7
-    ctx = ctx.astype(dt)
-    if has_img:
-        ctx_t = ctx[:, :text_len]
-        ctx_i = ctx[:, text_len:]
-        img_len = ctx_i.shape[1]
-        ctx_i = jnp.pad(ctx_i, ((0, 0), (0, _seg16(img_len) - img_len), (0, 0)))
-    else:
-        text_len = ctx.shape[1]
-        img_len = 0
-        ctx_t, ctx_i = ctx, jnp.zeros((1, 1, 1), dt)
-    ctx_t = jnp.pad(ctx_t, ((0, 0), (0, _seg16(text_len) - ctx_t.shape[1]), (0, 0)))
+    ctx_t, ctx_i, text_len, img_len = prepare_context(ctx, text_len, has_img, dt)
 
     to2d = lambda t: t.reshape(1, -1).astype(jnp.float32)
     wc = lambda t: t.astype(dt)
@@ -401,7 +383,7 @@ def spatial_transformer(x4, ctx, gn_scale, gn_bias, w_in, b_in, lns, a1, a2,
         tuple(wc(w) for w in a2[:-1]) + (to2d(a2[-1]),),
         (wc(ff[0]), to2d(ff[1]), wc(ff[2]), to2d(ff[3])),
         wc(w_out), to2d(b_out),
-        heads=heads, scale=float(scale), gn_eps=float(gn_eps), eps=float(eps),
+        heads=heads, scale=float(scale), eps=float(eps),
         text_len=int(text_len), img_len=int(img_len), has_img=has_img,
         interpret=_mode() == "interpret",
     )

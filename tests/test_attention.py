@@ -48,3 +48,34 @@ def test_bias_and_mask_fall_back_to_naive(rng):
 
 
 # The Pallas temporal-attention kernel is covered by tests/test_fused_temporal.py.
+
+
+def test_text_context_len_plumbs_to_cross_attention(rng):
+    """UNetConfig.text_context_len must reach the dual-KV split (reference
+    hardcodes 77 at attention.py:60; we expose it as a config knob, and it
+    was once silently disconnected). Two transformers identical except for
+    the split point must produce different outputs on a context whose text
+    and image halves differ."""
+    from dynamicscaler_tpu.models.unet3d import SpatialTransformer
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
+    ctx = jnp.concatenate(
+        [
+            jnp.asarray(rng.standard_normal((2, 8, 32)).astype(np.float32)),
+            2.0 + jnp.zeros((2, 8, 32), jnp.float32),
+        ],
+        axis=1,
+    )
+    outs = []
+    for tlen in (8, 12):
+        st = SpatialTransformer(
+            channels=32, heads=2, dim_head=16, context_dim=32,
+            img_cross_attention=True, text_context_len=tlen,
+        )
+        p = st.init(jax.random.PRNGKey(0), x, ctx)
+        # proj_out is zero-init, which would mask the split entirely
+        p = jax.tree.map(lambda a: jnp.where(a == 0, 0.02, a), p)
+        outs.append(np.asarray(st.apply(p, x, ctx)))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-6, (
+        "text_context_len had no effect: the split is disconnected"
+    )
