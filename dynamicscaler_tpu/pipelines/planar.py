@@ -98,6 +98,12 @@ class StepPlan:
 
 _STEP_FN_CACHE: dict = {}
 
+# steady-state rate of the most recent run() loop (utils/timing.LoopStats);
+# read by gen_pano_360's e2e artifact
+from dynamicscaler_tpu.utils.timing import LoopStats
+
+LOOP_STATS = LoopStats()
+
 
 class PlanarShiftWindowEngine:
     def __init__(
@@ -199,6 +205,7 @@ class PlanarShiftWindowEngine:
         from dynamicscaler_tpu.utils.timing import Marker
 
         _tm = Marker("planar")
+        LOOP_STATS.start(len(plan))
         for i, sp in enumerate(plan):
             step_key = jax.random.fold_in(key, i)
             if pre_step is not None:
@@ -221,6 +228,9 @@ class PlanarShiftWindowEngine:
             )
             _tm.lap(f"step {i}/{len(plan)} N={len(sp.origins)}",
                     block=latent if _tm.on else None)
+            if i == 0:
+                LOOP_STATS.mark_first(latent)
+        LOOP_STATS.finish(latent)
         return latent, denoised
 
 

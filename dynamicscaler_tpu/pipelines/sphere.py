@@ -41,6 +41,11 @@ from dynamicscaler_tpu.pipelines.conditioning import (
 from dynamicscaler_tpu.pipelines.t2v import make_schedule_for_model
 from dynamicscaler_tpu.pipelines.tiled_vae import tiled_vae_encode
 from dynamicscaler_tpu.core.windows import frame_window_origins, sphere_phase_views
+from dynamicscaler_tpu.utils.timing import LoopStats
+
+# steady-state rate of the most recent sphere loop; read by gen_pano_360's
+# e2e artifact (wall-clock alone is tunnel-RPC noisy, BENCH_NOTES.md)
+LOOP_STATS = LoopStats()
 
 
 # ---------------------------------------------------------------------------
@@ -735,6 +740,7 @@ def sample_shift_sphere_panorama(
     # device round trip each — 0.4-12s apiece in the tunnel's bad regime)
     ddim_ts_np = np.asarray(sched.ddim_timesteps)
     _tm.reset_lap()
+    LOOP_STATS.start(steps_eff)
     for i in range(steps_eff):
         # with skip the table index keeps counting from the truncated top
         index = (S - (skip if use_skip_time and not progressive_skip else 0)) - 1 - i
@@ -783,6 +789,9 @@ def sample_shift_sphere_panorama(
             jnp.asarray(pair_ctx),
         )
         _tm.lap(f"step {i}/{steps_eff} phase={phase}", block=latent if _tm.on else None)
+        if i == 0:
+            LOOP_STATS.mark_first(latent)
+    LOOP_STATS.finish(latent)
 
     # ---- decode -------------------------------------------------------------
     out_latent, out_denoised = latent, denoised

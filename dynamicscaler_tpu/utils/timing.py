@@ -50,3 +50,40 @@ class Marker:
 
     def reset_lap(self) -> None:
         self.last = time.perf_counter()
+
+
+class LoopStats:
+    """Steady-state rate of the most recent sampler step loop.
+
+    Wall-clock totals through the axon tunnel carry a 0.4-25s/RPC lottery
+    on setup (BENCH_NOTES.md); the chip-bound steady rate is the stable
+    cross-run metric. ``mark_first`` blocks on the first step's output
+    (excluding compile + program load), ``finish`` blocks on the last —
+    two scalar readbacks per loop. Read by gen_pano_360's e2e artifact.
+    """
+
+    def __init__(self):
+        self.steps = 0
+        self.steady_sec_per_step = None
+        self._t = None
+
+    def start(self, n_steps: int) -> None:
+        self.steps = int(n_steps)
+        self.steady_sec_per_step = None
+        self._t = None
+
+    @staticmethod
+    def _readback(arr) -> None:
+        import jax.numpy as jnp
+
+        float(jnp.sum(arr.astype(jnp.float32)))
+
+    def mark_first(self, arr) -> None:
+        self._readback(arr)
+        self._t = time.perf_counter()
+
+    def finish(self, arr) -> None:
+        if self._t is None or self.steps < 2:
+            return
+        self._readback(arr)
+        self.steady_sec_per_step = (time.perf_counter() - self._t) / (self.steps - 1)
