@@ -105,28 +105,28 @@ def check_blocks(only_c=None):
     return ok
 
 
-def check_unet():
+def check_unet(batch=B):
     from dynamicscaler_tpu.config import videocrafter_i2v
     from dynamicscaler_tpu.models.unet3d import UNet3D
 
     cfg = videocrafter_i2v(dtype="bfloat16")
     unet = UNet3D(cfg.unet, dtype=jnp.bfloat16)
     L = cfg.unet.text_context_len + cfg.resampler.num_queries
-    x = jnp.zeros((B, 16, 40, 64, cfg.unet.in_channels), jnp.bfloat16)
-    t = jnp.zeros((B,), jnp.int32)
-    ctx = jnp.zeros((B, L, cfg.unet.context_dim), jnp.bfloat16)
+    x = jnp.zeros((batch, 16, 40, 64, cfg.unet.in_channels), jnp.bfloat16)
+    t = jnp.zeros((batch,), jnp.int32)
+    ctx = jnp.zeros((batch, L, cfg.unet.context_dim), jnp.bfloat16)
     p = jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), x[:1, :2], t[:1], ctx[:1], 16))
     p = jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), p)
     try:
         c = compile_fn(lambda pp, a, b_, cc: unet.apply(pp, a, b_, cc, 16),
                        p, x, t, ctx)
         mem = c.memory_analysis()
-        print(f"full UNet fwd B={B}: OK "
+        print(f"full UNet fwd B={batch}: OK "
               f"(argmax temp {getattr(mem, 'temp_size_in_bytes', 0)/2**20:.0f} MiB)")
         return True
     except Exception as e:
         msg = str(e).replace("\n", " | ")[:600]
-        print(f"full UNet fwd B={B}: FAIL {type(e).__name__}: {msg}")
+        print(f"full UNet fwd B={batch}: FAIL {type(e).__name__}: {msg}")
         return False
 
 
@@ -166,6 +166,8 @@ if __name__ == "__main__":
         ok &= check_blocks(only_c)
     if what in ("vae", "all"):
         ok &= check_vae()
+    if what == "unet_b":
+        ok &= check_unet(batch=only_c or 16)
     if what in ("unet", "all"):
         ok &= check_unet()
     sys.exit(0 if ok else 1)
