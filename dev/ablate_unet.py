@@ -27,7 +27,12 @@ from dynamicscaler_tpu.config import videocrafter_i2v
 from dynamicscaler_tpu.models.unet3d import UNet3D
 from dynamicscaler_tpu.ops import fused_temporal
 
-B, FRAMES, H, W = 8, 16, 40, 64
+import os
+
+# DSCALER_ABLATE_B overrides the batch (e.g. 16: compiles fine offline at
+# 4.8GB temp — round-2's remote B=16 compile failure was tunnel flakiness)
+B = int(os.environ.get("DSCALER_ABLATE_B", "8"))
+FRAMES, H, W = 16, 40, 64
 K_LO, K_HI = 1, 3
 
 
