@@ -74,7 +74,7 @@ def _t_th(F: int, H: int, W: int, C: int) -> int:
 
 
 def temporal_ok(F: int, C: int, inner: int, heads: int, H: int, W: int) -> bool:
-    if not _on():
+    if not _on() or fused_temporal.kernel_disabled("mega_t"):
         return False
     return (
         F >= 2
@@ -213,7 +213,7 @@ def temporal_transformer(x5, gn_scale, gn_bias, w_in, b_in, lns, a1, a2, ff,
 
 
 def spatial_ok(N: int, C: int, inner: int, heads: int, ctx_dim: int) -> bool:
-    if not _on():
+    if not _on() or fused_temporal.kernel_disabled("mega_s"):
         return False
     return (
         256 <= N <= 4096

@@ -44,7 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 _MODE = os.environ.get("DSCALER_FUSED_TEMPORAL", "auto")  # auto | off | interpret
 
 # per-kernel-class kill switch for ablation: comma list out of
-# {temporal, spatial, cross, ff}; e.g. DSCALER_FUSE_DISABLE=cross,ff
+# {temporal, spatial, cross, ff, block, wrap, gnsilu, mega, mega_t,
+# mega_s}; e.g. DSCALER_FUSE_DISABLE=cross,ff. mega_t/mega_s disable just
+# the temporal/spatial whole-transformer kernels (dispatch drops to
+# wrap+block for that side only).
 _DISABLED = frozenset(
     k for k in os.environ.get("DSCALER_FUSE_DISABLE", "").split(",") if k
 )
