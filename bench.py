@@ -53,6 +53,35 @@ def load_e2e_measurement():
     return rec
 
 
+def load_speed_of_light(achieved_gflops):
+    """North-star accounting (BASELINE.md: per-tile denoise throughput >=80%
+    of single-view UNet speed-of-light). The ceiling is DEFINED as the
+    *measured* achieved GFLOP/s of the convs-only UNet variant (attention +
+    temporal transformers stripped; dev/ablate_unet.py) — the best sustained
+    rate this chip reaches on the model's own conv workload, i.e. the
+    realistic speed-of-light for this architecture. pct_of_sol compares the
+    full tile-denoise step's achieved GFLOP/s against it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "ablate_latest.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        ceiling = rec["variants"]["convs_only"]["gflops_per_sec"]
+    except Exception:
+        return {"pct_of_sol": None,
+                "note": "run dev/ablate_unet.py convs_only to set the ceiling"}
+    pct = achieved_gflops / ceiling if ceiling else None
+    return {
+        "ceiling_gflops_per_sec": ceiling,
+        "achieved_gflops_per_sec": round(achieved_gflops, 1),
+        "pct_of_sol": round(pct, 4) if pct is not None else None,
+        "pass_80pct": bool(pct is not None and pct >= 0.80),
+        "ceiling_def": "measured convs-only UNet achieved GFLOP/s",
+        "ceiling_commit": rec.get("commit"),
+        "ceiling_measured_at": rec.get("measured_at"),
+    }
+
+
 def main():
     from dynamicscaler_tpu.utils.cache import enable_compilation_cache
 
@@ -153,6 +182,9 @@ def main():
                     "sec_per_step": round(sec_per_step, 4),
                     "flops_per_tile": flops_per_tile,
                     "mfu": round(mfu, 4) if mfu is not None else None,
+                    "speed_of_light": load_speed_of_light(
+                        flops_per_call / sec_per_step / 1e9
+                    ) if have_flops else None,
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
                     "e2e_single_chip": load_e2e_measurement()
                     or "not measured — run cli.gen_pano_360 at default geometry",

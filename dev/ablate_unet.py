@@ -93,10 +93,52 @@ def measure(name):
     except Exception:
         fl = float("nan")
     print(f"{name:14s}: {per_fwd:7.1f} ms/fwd  {fl/1e12:6.1f} TF  {fl/per_fwd/1e9:6.0f} GFLOP/s")
-    return per_fwd
+    return per_fwd, fl
+
+
+def record(results):
+    """Merge measurements into results/ablate_latest.json so bench.py can
+    compute pct-of-speed-of-light (convs_only achieved GFLOP/s is the
+    measured ceiling; VERDICT r3 #4). Accumulates across invocations at the
+    same commit; a new commit resets the file."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "results", "ablate_latest.json")
+    try:
+        commit = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    rec = {"commit": commit, "batch": B, "variants": {}}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("commit") == commit and prev.get("batch") == B:
+            rec = prev
+    except Exception:
+        pass
+    for name, (ms, fl) in results.items():
+        rec["variants"][name] = {
+            "ms_per_fwd": round(ms, 1),
+            "tflops": round(fl / 1e12, 2) if fl == fl else None,
+            "gflops_per_sec": round(fl / ms / 1e9, 1) if fl == fl else None,
+        }
+    rec["measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    rec["measured_at_unix"] = time.time()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(f"recorded -> {path}")
 
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["full", "full_nofused", "no_tattn", "no_tconv", "convs_only"]
+    out = {}
     for n in names:
-        measure(n)
+        out[n] = measure(n)
+        record(out)  # write after EVERY variant — a tunnel hang can't lose
+        # the ones already measured

@@ -94,8 +94,15 @@ LADDER = [
 
 
 def bench_xfmr():
-    # whole transformer (GN + proj wrapper + block) across the fusion ladder
+    # whole transformer (GN + proj wrapper + block) across the fusion ladder.
+    # DSCALER_BENCH_C="1280" (comma list) restricts the level sweep so a
+    # resumed run doesn't redo rows an earlier (timed-out) run already logged.
+    import os
+    want = os.environ.get("DSCALER_BENCH_C")
+    want = {int(c) for c in want.split(",")} if want else None
     for C, H, W in [(320, 40, 64), (640, 20, 32), (1280, 10, 16)]:
+        if want is not None and C not in want:
+            continue
         tt = TemporalTransformer(channels=C, heads=C // 64, dim_head=64,
                                  temporal_length=16, dtype=jnp.bfloat16)
         x = jax.random.normal(jax.random.PRNGKey(0), (B * 16, H, W, C),
@@ -116,6 +123,9 @@ def bench_xfmr():
 
 
 if __name__ == "__main__":
+    # ladder sweeps select levels via _DISABLED alone — the measured
+    # per-shape plan (fused_temporal._PLAN) must not pre-veto levels here
+    fused_temporal.set_plan("off")
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("temporal", "all"):
         bench_temporal()

@@ -522,9 +522,29 @@ def _write_e2e_artifact(vargs: VArgs, stage_secs: dict, total: float,
         ).stdout.strip() or None
     except Exception:
         commit = None
-    with open(os.path.join(res_dir, "e2e_latest.json"), "w") as f:
+    # cold/warm provenance (VERDICT r3 #1): a prior artifact at the SAME
+    # commit means that run already populated the persistent XLA cache and
+    # the axon server's program cache, so this run executed warm. First run
+    # at a commit is cold (stage walls include first-compile time).
+    art_path = os.path.join(res_dir, "e2e_latest.json")
+    run_type, cold_total = "cold", None
+    try:
+        with open(art_path) as f:
+            prev = json.load(f)
+        if commit and prev.get("commit") == commit:
+            run_type = "warm"
+            cold_total = (
+                prev.get("cold_total_sec")
+                if prev.get("run_type") == "warm"
+                else prev.get("total_sec")
+            )
+    except Exception:
+        pass
+    with open(art_path, "w") as f:
         json.dump(
             {
+                "run_type": run_type,
+                "cold_total_sec": cold_total,
                 "stages_sec": {k: round(v, 1) for k, v in stage_secs.items()},
                 "steady_sec_per_step": {
                     k: round(v, 2)

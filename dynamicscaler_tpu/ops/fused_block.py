@@ -213,7 +213,7 @@ def _geglu(h2d, refs):
 
 def temporal_block_fusable(n_tokens: int, inner: int, query_dim: int,
                            heads: int) -> bool:
-    if not _on("block"):
+    if not _on("block") or not fused_temporal.plan_allows("block", "t", query_dim):
         return False
     return (
         n_tokens >= 2
@@ -338,7 +338,7 @@ def fused_temporal_block(x, lns, attn1, attn2, ff, *, heads, scale,
 
 def spatial_block_fusable(n_tokens: int, inner: int, query_dim: int,
                           heads: int, ctx_dim: int) -> bool:
-    if not _on("block"):
+    if not _on("block") or not fused_temporal.plan_allows("block", "s", query_dim):
         return False
     return (
         256 <= n_tokens <= 4096

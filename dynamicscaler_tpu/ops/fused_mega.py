@@ -76,6 +76,8 @@ def _t_th(F: int, H: int, W: int, C: int) -> int:
 def temporal_ok(F: int, C: int, inner: int, heads: int, H: int, W: int) -> bool:
     if not _on() or fused_temporal.kernel_disabled("mega_t"):
         return False
+    if not fused_temporal.plan_allows("mega", "t", C):
+        return False
     return (
         F >= 2
         and 128 % F == 0
@@ -214,6 +216,8 @@ def temporal_transformer(x5, gn_scale, gn_bias, w_in, b_in, lns, a1, a2, ff,
 
 def spatial_ok(N: int, C: int, inner: int, heads: int, ctx_dim: int) -> bool:
     if not _on() or fused_temporal.kernel_disabled("mega_s"):
+        return False
+    if not fused_temporal.plan_allows("mega", "s", C):
         return False
     return (
         256 <= N <= 4096

@@ -69,6 +69,81 @@ def kernel_disabled(kind: str) -> bool:
     return kind in _DISABLED
 
 
+# ---------------------------------------------------------------------------
+# Per-shape dispatch plan (VERDICT r3 #2): which fusion-ladder level to run
+# at each (side, channel) transformer shape, from the measured TPU v5e table
+# (dev/bench_block.py xfmr slopes, B=8, 2026-08-19; BENCH_NOTES round-4):
+#
+#   temporal C=320 : wrap+blk 16.36 ms  (mega 17.77, wrap+sub 16.58, subs 21.57)
+#   temporal C=640 : wrap+sub 10.13 ms  (mega 11.49, wrap+blk 12.10, subs 11.09)
+#   temporal C=1280: per r4 sweep       (xla 14.41; fused rows below)
+#   spatial  C=320 : mega 29.58 ms      (subs 30.48, wrap+sub 33.62 — wrap LOSES)
+#   spatial  C=640 : mega/subs ~tied    (mega 13.08, subs 12.85, wrap+sub 14.17)
+#   spatial  C=1280: no fused kernel legal (block/mega gates cap inner<=640)
+#
+# Levels (highest first): mega > wrap+blk > wrap+sub > subs. A level names
+# the PREFERRED kernel set; legality gates and DSCALER_FUSE_DISABLE kill
+# switches still veto on top, falling through to the next legal level.
+# Override: DSCALER_FUSE_PLAN="off" ignores the table (highest legal level
+# wins — what dev/bench_block.py uses to sweep the ladder), or a comma spec
+# like "t640=mega,s320=subs" patches individual entries.
+# ---------------------------------------------------------------------------
+
+_PLAN_DEFAULT = {
+    ("t", 320): "wrap+blk",
+    ("t", 640): "wrap+sub",
+    ("t", 1280): "wrap+blk",  # refined by the r4 C=1280 sweep
+    ("s", 320): "mega",
+    ("s", 640): "mega",
+    ("s", 1280): "subs",  # spatial wrap loses at 320/640; no block/mega legal
+}
+
+_LEVEL_ALLOWS = {
+    "mega": frozenset({"mega", "block", "wrap"}),
+    "wrap+blk": frozenset({"block", "wrap"}),
+    "wrap+sub": frozenset({"wrap"}),
+    "subs": frozenset(),
+}
+
+
+def _parse_plan(spec: str):
+    if spec in ("auto", ""):
+        return dict(_PLAN_DEFAULT)
+    if spec == "off":
+        return None
+    plan = dict(_PLAN_DEFAULT)
+    for item in spec.split(","):
+        k, _, lvl = item.partition("=")
+        assert lvl in _LEVEL_ALLOWS, f"bad plan level {lvl!r} in {spec!r}"
+        side, c = k[0], int(k[1:])
+        assert side in ("t", "s"), f"bad plan key {k!r} in {spec!r}"
+        plan[(side, c)] = lvl
+    return plan
+
+
+_PLAN = _parse_plan(os.environ.get("DSCALER_FUSE_PLAN", "auto"))
+
+
+def set_plan(spec: str) -> None:
+    """\"auto\" (measured table), \"off\" (highest legal level — ladder
+    sweeps), or a comma spec of side+C=level overrides."""
+    global _PLAN
+    _PLAN = _parse_plan(spec)
+
+
+def plan_allows(kind: str, side: str, C: int) -> bool:
+    """Does the per-shape plan allow kernel class ``kind`` (mega/block/wrap)
+    for the ``side`` ('t'/'s') transformer at channel count ``C``? Unknown
+    shapes default to allowed (highest legal level, matching pre-plan
+    behavior)."""
+    if _PLAN is None:
+        return True
+    level = _PLAN.get((side, C))
+    if level is None:
+        return True
+    return kind in _LEVEL_ALLOWS[level]
+
+
 def _tpu_available() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

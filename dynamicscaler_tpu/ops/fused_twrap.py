@@ -46,8 +46,10 @@ def _mode() -> str:
     return fused_temporal.mode()
 
 
-def _enabled() -> bool:
+def _enabled(side: str, C: int) -> bool:
     if _mode() == "off" or fused_temporal.kernel_disabled("wrap"):
+        return False
+    if not fused_temporal.plan_allows("wrap", side, C):
         return False
     return _mode() == "interpret" or fused_temporal._tpu_available()
 
@@ -312,7 +314,7 @@ def gn_proj_in_temporal(x5, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
     norm + rearrange + linear proj_in) into one pass."""
     B, F, H, W, C = x5.shape
     mul, add = group_norm_fold(x5, gn_scale, gn_bias, eps=eps)
-    if _enabled():
+    if _enabled("t", C):
         return _head_temporal(
             x5, mul, add, w.astype(x5.dtype), b.astype(jnp.float32).reshape(1, -1),
             interpret=_mode() == "interpret",
@@ -329,7 +331,7 @@ def gn_proj_in_temporal(x5, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
 def tail_temporal(y, x5, w, b):
     """proj_out -> permute back -> + residual: [BHW,F,Ci], [B,F,H,W,C] ->
     [B,F,H,W,C]."""
-    if _enabled():
+    if _enabled("t", x5.shape[-1]):
         return _tail_temporal(
             y, x5, w.astype(y.dtype), b.astype(jnp.float32).reshape(1, -1),
             interpret=_mode() == "interpret",
@@ -347,7 +349,7 @@ def gn_proj_in_spatial(x4, gn_scale, gn_bias, w, b, *, eps: float = 1e-6):
     BF, H, W, C = x4.shape
     mul, add = group_norm_fold(x4, gn_scale, gn_bias, eps=eps)
     x3 = x4.reshape(BF, H * W, C)
-    if _enabled():
+    if _enabled("s", C):
         return _head_spatial(
             x3, mul, add, w.astype(x4.dtype), b.astype(jnp.float32).reshape(1, -1),
             interpret=_mode() == "interpret",
@@ -437,7 +439,7 @@ def tail_spatial(y, x4, w, b):
     """proj_out -> + residual: [BF,N,Ci], [BF,H,W,C] -> [BF,H,W,C]."""
     BF, H, W, C = x4.shape
     x3 = x4.reshape(BF, H * W, C)
-    if _enabled():
+    if _enabled("s", C):
         out = _tail_spatial(
             y, x3, w.astype(y.dtype), b.astype(jnp.float32).reshape(1, -1),
             interpret=_mode() == "interpret",
