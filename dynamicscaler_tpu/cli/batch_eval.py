@@ -46,6 +46,10 @@ def parse_args(argv=None):
     # manual rank override (defaults to jax.process_index / count)
     p.add_argument("--rank", type=int, default=-1)
     p.add_argument("--world_size", type=int, default=-1)
+    # coordinated multi-host init (reference: ddp_wrapper.py:8-12 env://)
+    from dynamicscaler_tpu.parallel.dist import add_distributed_flags
+
+    add_distributed_flags(p)
     return p.parse_args(argv)
 
 
@@ -56,6 +60,9 @@ def _enable_cache():
 
 
 def main(args):
+    from dynamicscaler_tpu.parallel.dist import barrier, initialize_from_args
+
+    coordinated = initialize_from_args(args)  # before any backend touch
     _enable_cache()
     import jax
 
@@ -64,6 +71,8 @@ def main(args):
 
     rank = args.rank if args.rank >= 0 else jax.process_index()
     world = args.world_size if args.world_size > 0 else jax.process_count()
+    if coordinated:
+        barrier("batch_eval_start")  # all ranks reached init together
 
     with open(args.prompt_file) as f:
         prompts = [ln.strip() for ln in f if ln.strip()]
@@ -143,6 +152,8 @@ def main(args):
         print(f"[batch_eval] {i + 1}/{len(shard)} '{prompt[:50]}' "
               f"({time.time() - t0:.1f}s elapsed)")
     print(f"[batch_eval] rank {rank} done in {time.time() - t0:.1f}s")
+    if coordinated:
+        barrier("batch_eval_done")
 
 
 if __name__ == "__main__":
