@@ -68,6 +68,14 @@ def main(t2v: bool):
     t0 = time.time()
     torch.manual_seed(0)
     m = UNetModel(**kwargs)
+    # the reference zero-inits out conv / proj_out / last temporal conv
+    # (lvdm/basics.py:19) — random-init outputs would be EXACT ZEROS and the
+    # comparison vacuous; give all-zero params small random values
+    gen = torch.Generator().manual_seed(42)
+    with torch.no_grad():
+        for q in m.parameters():
+            if (q == 0).all():
+                q.add_(torch.randn(q.shape, generator=gen) * 0.02)
     m.eval()
     n_torch = sum(p.numel() for p in m.parameters())
     print(f"[fullsize] torch UNet built: {n_torch:,} params ({time.time()-t0:.0f}s)")

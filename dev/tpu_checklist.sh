@@ -51,7 +51,7 @@ if [[ "${1:-}" != "--skip-e2e" ]]; then
   run e2e_warm 3600 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
 fi
 run bench 3600 python bench.py
-run ablate 3600 python dev/ablate_unet.py full full_nofused no_k_mega_t \
+run ablate 7200 python dev/ablate_unet.py full full_nofused convs_only \
   no_k_mega_s no_k_block no_k_wrap no_k_gnsilu no_k_temporal no_k_spatial \
   no_k_cross no_k_ff
 run bench_block_xfmr 5400 python dev/bench_block.py xfmr

@@ -77,8 +77,10 @@ def kernel_disabled(kind: str) -> bool:
 #   temporal C=320 : wrap+blk 16.36 ms  (mega 17.77, wrap+sub 16.58, subs 21.57)
 #   temporal C=640 : wrap+sub 10.13 ms  (mega 11.49, wrap+blk 12.10, subs 11.09)
 #   temporal C=1280: wrap+sub  9.31 ms  (subs 9.68, wrap+blk 10.39, xla 13.65)
-#   spatial  C=320 : mega 29.58 ms      (subs 30.48, wrap+sub 33.62 — wrap LOSES)
-#   spatial  C=640 : mega/subs ~tied    (mega 13.08, subs 12.85, wrap+sub 14.17)
+#   spatial  C=320 : mega 29.58/29.76 ms (subs 30.48/30.44, wrap+sub 33.6+ —
+#                                         wrap LOSES on the spatial side)
+#   spatial  C=640 : subs 12.85/12.69 ms (mega 13.08/13.06 in two runs;
+#                                         wrap+sub 14.17/16.13)
 #   spatial  C=1280: subs 11.72 ms      (wrap+sub 11.87, wrap+blk 11.92,
 #                                        xla 12.62; block/mega illegal >640)
 #
@@ -95,7 +97,7 @@ _PLAN_DEFAULT = {
     ("t", 640): "wrap+sub",
     ("t", 1280): "wrap+sub",
     ("s", 320): "mega",
-    ("s", 640): "mega",
+    ("s", 640): "subs",
     ("s", 1280): "subs",  # spatial wrap loses at 320/640; no block/mega legal
 }
 

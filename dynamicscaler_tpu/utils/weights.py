@@ -466,3 +466,66 @@ def load_videocrafter_checkpoint(
                 params,
             )
     return params
+
+
+# ---------------------------------------------------------------------------
+# Alternate encoders (models/encoders_alt.py) — the reference's unused
+# FrozenCLIPEmbedder / FrozenT5Embedder towers (condition.py:89,57)
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_clip_text(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """transformers ``CLIPTextModel`` state dict -> HFCLIPTextEncoder tree.
+
+    HF naming: text_model.embeddings.{token,position}_embedding,
+    text_model.encoder.layers.{i}.{self_attn.{q,k,v,out}_proj,
+    layer_norm1/2, mlp.fc1/fc2}, text_model.final_layer_norm."""
+    r = "text_model."
+    p: Dict[str, Any] = {
+        "token_embedding": _np(sd[r + "embeddings.token_embedding.weight"]),
+        "positional_embedding": _np(sd[r + "embeddings.position_embedding.weight"]),
+        "ln_final": norm(sd, r + "final_layer_norm"),
+    }
+    for i in range(cfg.layers):
+        b = f"{r}encoder.layers.{i}."
+        p[f"block{i}"] = {
+            "ln_1": norm(sd, b + "layer_norm1"),
+            "ln_2": norm(sd, b + "layer_norm2"),
+            "q": lin(sd, b + "self_attn.q_proj"),
+            "k": lin(sd, b + "self_attn.k_proj"),
+            "v": lin(sd, b + "self_attn.v_proj"),
+            "out": lin(sd, b + "self_attn.out_proj"),
+            "mlp_fc": lin(sd, b + "mlp.fc1"),
+            "mlp_proj": lin(sd, b + "mlp.fc2"),
+        }
+    return {"params": p}
+
+
+def convert_t5_encoder(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """transformers ``T5EncoderModel`` state dict -> T5TextEncoder tree.
+
+    The relative-position bias table lives in block 0's attention
+    (encoder.block.0.layer.0.SelfAttention.relative_attention_bias) and is
+    shared by all layers — it becomes the encoder-level table here."""
+    emb_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
+    p: Dict[str, Any] = {
+        "token_embedding": _np(sd[emb_key]),
+        "relative_attention_bias": _np(
+            sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+        ),
+        "ln_final": {"weight": _np(sd["encoder.final_layer_norm.weight"])},
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}.layer."
+        p[f"block{i}"] = {
+            "ln_attn": {"weight": _np(sd[b + "0.layer_norm.weight"])},
+            "q": lin_nb(sd, b + "0.SelfAttention.q"),
+            "k": lin_nb(sd, b + "0.SelfAttention.k"),
+            "v": lin_nb(sd, b + "0.SelfAttention.v"),
+            "o": lin_nb(sd, b + "0.SelfAttention.o"),
+            "ln_ff": {"weight": _np(sd[b + "1.layer_norm.weight"])},
+            "wi_0": lin_nb(sd, b + "1.DenseReluDense.wi_0"),
+            "wi_1": lin_nb(sd, b + "1.DenseReluDense.wi_1"),
+            "wo": lin_nb(sd, b + "1.DenseReluDense.wo"),
+        }
+    return {"params": p}

@@ -24,7 +24,8 @@ def test_default_table_levels():
     assert not fused_temporal.plan_allows("block", "t", 640)  # wrap+sub
     assert fused_temporal.plan_allows("wrap", "t", 640)
     assert fused_temporal.plan_allows("mega", "s", 320)
-    assert fused_temporal.plan_allows("mega", "s", 640)
+    assert not fused_temporal.plan_allows("mega", "s", 640)  # subs
+    assert not fused_temporal.plan_allows("wrap", "s", 640)
 
 
 def test_unknown_shape_allows_everything():
@@ -64,9 +65,9 @@ def test_gates_consult_plan_at_real_shapes():
     # t640 plan=wrap+sub: both mega and block vetoed
     assert not fused_mega.temporal_ok(16, 640, 640, 10, 20, 32)
     assert not fused_block.temporal_block_fusable(16, 640, 640, 10)
-    # s320/s640 plan=mega: mega gate open
+    # s320 plan=mega: mega gate open; s640 plan=subs: vetoed
     assert fused_mega.spatial_ok(2560, 320, 320, 5, 1024)
-    assert fused_mega.spatial_ok(640, 640, 640, 10, 1024)
+    assert not fused_mega.spatial_ok(640, 640, 640, 10, 1024)
     # plan off -> t320 mega legal again
     fused_temporal.set_plan("off")
     assert fused_mega.temporal_ok(16, 320, 320, 5, 40, 64)

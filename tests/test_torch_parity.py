@@ -75,8 +75,22 @@ def torch_unet():
     from lvdm.modules.networks.openaimodel3d import UNetModel
 
     m = UNetModel(**TINY)
+    _perturb_zero_params(m)
     m.eval()
     return m
+
+
+def _perturb_zero_params(m, scale=0.02, seed=42):
+    """The reference zero-inits its output layers (out conv, transformer
+    proj_out, last temporal conv — lvdm/basics.py:19 zero_module), which
+    makes a random-init forward comparison VACUOUS at those outputs (both
+    sides produce exact zeros). Give every all-zero parameter a small
+    random value so the full path contributes to the compared output."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for q in m.parameters():
+            if (q == 0).all():
+                q.add_(torch.randn(q.shape, generator=gen) * scale)
 
 
 def test_timestep_embedding_matches_reference():
@@ -123,6 +137,7 @@ def test_unet_parity_t2v_no_img_attention():
 
     t2v = dict(TINY, use_image_attention=False)
     m = UNetModel(**t2v)
+    _perturb_zero_params(m)
     m.eval()
     cfg = UNetConfig(
         model_channels=32,
@@ -258,6 +273,7 @@ def test_unet_parity_level_without_attention():
 
     kw = dict(TINY, attention_resolutions=[1], use_image_attention=False)
     m = UNetModel(**kw)
+    _perturb_zero_params(m)
     m.eval()
     cfg = UNetConfig(
         model_channels=32, num_head_channels=16, context_dim=64,
@@ -286,6 +302,7 @@ def test_unet_parity_relative_position():
 
     kw = dict(TINY, use_relative_position=True, use_image_attention=False)
     m = UNetModel(**kw)
+    _perturb_zero_params(m)
     m.eval()
     cfg = UNetConfig(
         model_channels=32, num_head_channels=16, context_dim=64,
