@@ -57,7 +57,8 @@ class Text2Video:
             key=jax.random.PRNGKey(int(seed)),
         )
         name = "".join(c if c.isalnum() else "_" for c in prompt[:30]) or "out"
-        path = save_video(np.asarray(video[0]), self.result_dir, name, fps=self.save_fps)
+        path = save_video(np.asarray(video[0]), self.result_dir, name,
+                          fps=self.save_fps, save_gif=True)
         print(f"[demo] '{prompt[:40]}' done in {time.time() - t0:.1f}s -> {path}")
         return path
 
@@ -90,7 +91,8 @@ class Image2Video:
             key=jax.random.PRNGKey(int(seed)),
         )
         name = "".join(c if c.isalnum() else "_" for c in prompt[:30]) or "out"
-        path = save_video(np.asarray(video[0]), self.result_dir, name, fps=self.save_fps)
+        path = save_video(np.asarray(video[0]), self.result_dir, name,
+                          fps=self.save_fps, save_gif=True)
         return path
 
 

@@ -74,10 +74,12 @@ def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int =
     """[F, H, W, 3] in [-1, 1] -> mp4 (and/or gif) via imageio
     (utils/loop_merge_utils.py:22-36).
 
-    Without an ffmpeg backend the fallback writes full-res PNG frames
-    (parallel, low compression — PIL releases the GIL) plus a preview gif
-    downscaled to ``gif_max_width`` (gif palette quantization at 2048-wide
-    panorama frames cost ~90s of host time per save otherwise)."""
+    Without an ffmpeg backend the fallback writes a REAL video file anyway —
+    a dependency-free MJPEG AVI (utils/avi.py, full-quality JPEG frames,
+    plays everywhere) — plus full-res PNG frames (parallel, low compression
+    — PIL releases the GIL) and optionally a preview gif downscaled to
+    ``gif_max_width`` (gif palette quantization at 2048-wide panorama
+    frames cost ~90s of host time per save otherwise)."""
     os.makedirs(output_path, exist_ok=True)
     frames = list(to_uint8_frames(video))
     saved = None
@@ -88,9 +90,13 @@ def save_video(video: np.ndarray, output_path: str, output_name: str, fps: int =
             saved = os.path.join(output_path, f"{output_name}.mp4")
             imageio.mimsave(saved, frames, fps=fps)
         except Exception as e:  # no ffmpeg backend in this environment
-            print(f"[save_video] mp4 backend unavailable ({e}); writing gif+frames")
-            saved = None
-            save_gif = True
+            print(f"[save_video] mp4 backend unavailable ({e}); "
+                  f"writing mjpeg-avi + frames")
+            from dynamicscaler_tpu.utils.avi import write_mjpeg_avi
+
+            saved = write_mjpeg_avi(
+                os.path.join(output_path, f"{output_name}.avi"), frames, fps=fps
+            )
             frames_dir = os.path.join(output_path, f"{output_name}_frames")
             os.makedirs(frames_dir, exist_ok=True)
             from concurrent.futures import ThreadPoolExecutor

@@ -56,8 +56,9 @@ def test_two_process_coordinated_batch_eval(tmp_path):
     assert "rank 1/2: 1/3 prompts" in logs[1], logs[1]
 
     # each rank wrote exactly its slice (round-robin like inference.py:71-77);
-    # save_video emits one .gif (+ a _frames dir) per clip — count the gifs
-    names = sorted(n for n in os.listdir(out) if n.endswith(".gif"))
+    # without an ffmpeg backend save_video emits one MJPEG .avi (+ a
+    # _frames dir) per clip — count the videos
+    names = sorted(n for n in os.listdir(out) if n.endswith((".avi", ".mp4")))
     r0 = [n for n in names if n.startswith("r0_")]
     r1 = [n for n in names if n.startswith("r1_")]
     assert len(r0) == 2 and len(r1) == 1, names
