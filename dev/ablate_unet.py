@@ -96,23 +96,33 @@ def measure(name):
     return per_fwd, fl
 
 
+def _head_commit():
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
+_COMMIT = _head_commit()
+
+
 def record(results):
     """Merge measurements into results/ablate_latest.json so bench.py can
     compute pct-of-speed-of-light (convs_only achieved GFLOP/s is the
     measured ceiling; VERDICT r3 #4). Accumulates across invocations at the
     same commit; a new commit resets the file."""
     import json
-    import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "results", "ablate_latest.json")
-    try:
-        commit = subprocess.run(
-            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
-    except Exception:
-        commit = None
+    commit = _COMMIT  # captured at process start — a commit landing while
+    # a long ablation runs must not relabel numbers measured at older code
     rec = {"commit": commit, "batch": B, "variants": {}}
     try:
         with open(path) as f:

@@ -272,3 +272,43 @@ class CLIPT5TextEncoder:
             self.clip.apply(params["clip"], clip_tokens),
             self.t5.apply(params["t5"], t5_tokens),
         )
+
+
+class IdentityEncoder:
+    """condition.py:18-21 — passthrough conditioning."""
+
+    def encode(self, x):
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassEmbedderConfig:
+    embed_dim: int = 512
+    n_classes: int = 1000  # +1 implicit ucg class at id n_classes-1
+
+
+class ClassEmbedder(nn.Module):
+    """condition.py:23-47 — class-label conditioning with unconditional-
+    guidance dropout: with prob ``ucg_rate`` a label is replaced by the
+    reserved last class. Keyed dropout (a PRNG key instead of torch's
+    global bernoulli); ``key=None`` or ``disable_dropout`` skips it."""
+
+    cfg: ClassEmbedderConfig
+    ucg_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, labels: jnp.ndarray, key=None, disable_dropout: bool = False):
+        emb = self.param(
+            "embedding", nn.initializers.normal(1.0),
+            (self.cfg.n_classes, self.cfg.embed_dim),
+        )
+        c = labels.astype(jnp.int32)
+        if self.ucg_rate > 0.0 and not disable_dropout and key is not None:
+            drop = jax.random.bernoulli(key, self.ucg_rate, c.shape)
+            c = jnp.where(drop, self.cfg.n_classes - 1, c)
+        return emb[c][:, None, :]  # [B, 1, D] crossattn token
+
+    @staticmethod
+    def unconditional_labels(cfg: ClassEmbedderConfig, batch: int) -> jnp.ndarray:
+        """condition.py:44-47 get_unconditional_conditioning."""
+        return jnp.full((batch,), cfg.n_classes - 1, jnp.int32)

@@ -122,3 +122,33 @@ def test_clip_t5_pair():
         ref_t = mt(input_ids=torch.from_numpy(tt.astype(np.int64))).last_hidden_state.numpy()
     np.testing.assert_allclose(np.asarray(clip_z), ref_c, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(t5_z), ref_t, atol=3e-5, rtol=1e-4)
+
+
+def test_class_embedder_semantics():
+    """condition.py:23-47 behavioral contract (RNG differs from torch's
+    global bernoulli, so semantics — not bits — are asserted)."""
+    import jax
+
+    from dynamicscaler_tpu.models.encoders_alt import (
+        ClassEmbedder, ClassEmbedderConfig)
+
+    cfg = ClassEmbedderConfig(embed_dim=8, n_classes=10)
+    m = ClassEmbedder(cfg, ucg_rate=1.0)  # always drop
+    labels = jnp.arange(6)
+    p = m.init(jax.random.PRNGKey(0), labels)
+    table = np.asarray(p["params"]["embedding"])
+
+    # no key / disable_dropout: plain lookup, crossattn-shaped [B, 1, D]
+    out = np.asarray(m.apply(p, labels))
+    assert out.shape == (6, 1, 8)
+    np.testing.assert_array_equal(out[:, 0], table[:6])
+    out2 = np.asarray(m.apply(p, labels, key=jax.random.PRNGKey(1),
+                              disable_dropout=True))
+    np.testing.assert_array_equal(out2, out)
+
+    # ucg_rate=1: every row becomes the reserved last class
+    dropped = np.asarray(m.apply(p, labels, key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(dropped[:, 0], np.tile(table[9], (6, 1)))
+
+    uc = ClassEmbedder.unconditional_labels(cfg, 4)
+    assert uc.shape == (4,) and int(uc[0]) == 9
