@@ -38,7 +38,7 @@ K_LO, K_HI = 1, 3
 
 def variant_cfg(name):
     cfg = videocrafter_i2v(dtype="bfloat16").unet
-    if name in ("full", "full_nofused") or name.startswith("no_k_"):
+    if name in ("full", "full_nofused", "k_gnsilu_unet") or name.startswith("no_k_"):
         return cfg
     if name == "no_tattn":
         return dataclasses.replace(cfg, temporal_attention=False)
@@ -52,11 +52,19 @@ def variant_cfg(name):
 
 
 def measure(name):
+    from dynamicscaler_tpu.ops import fused_twrap
+
     fused_temporal.set_mode("off" if name == "full_nofused" else "auto")
     # no_k_<kind>: full model with ONE fused-kernel class disabled
-    # (kind in temporal/spatial/cross/ff) — attributes time per kernel
+    # (kind in temporal/spatial/cross/ff) — attributes time per kernel.
+    # k_gnsilu_unet: re-enable the gn_silu kernel at the (demoted) unet
+    # site to re-check the measured regression after dispatch changes.
     fused_temporal._DISABLED = (
         frozenset([name[5:]]) if name.startswith("no_k_") else frozenset()
+    )
+    fused_twrap.set_gnsilu_sites(
+        "unet,vae" if name == "k_gnsilu_unet"
+        else os.environ.get("DSCALER_GNSILU_SITES", "vae")
     )
     ucfg = variant_cfg(name)
     unet = UNet3D(ucfg, dtype=jnp.bfloat16)

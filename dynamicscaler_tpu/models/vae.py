@@ -31,7 +31,7 @@ def _gn_silu(x, name, act=True):
     holder keeps the flat {scale, bias} param path of nn.GroupNorm.
     Must be called from within an @nn.compact method."""
     s, b = LNParams(x.shape[-1], name=name)()
-    return fused_twrap.gn_silu(x, s, b, eps=1e-6, act=act)
+    return fused_twrap.gn_silu(x, s, b, eps=1e-6, act=act, site="vae")
 
 
 class ResnetBlock(nn.Module):

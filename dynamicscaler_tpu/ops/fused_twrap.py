@@ -33,6 +33,7 @@ DSCALER_FUSE_DISABLE=wrap).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -410,17 +411,42 @@ def _gn_silu_call(x3, mul, add, *, act, interpret):
     return out
 
 
-def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5, act: bool = True):
+# Measured per-site defaults (results/ablate_latest.json @ acee677, B=8
+# UNet fwd, TPU v5e): the UNet is FASTER with the gn_silu kernel off —
+# 808.1 ms/fwd vs 844.7 ms with it on. XLA fuses the normalize+SiLU
+# epilogue into the consuming conv, while the fold+Pallas split re-reads x
+# from HBM a third time. The VAE keeps the kernel (longer norm->conv chains,
+# no measured regression; time with dev/bench_vae.py when retuning).
+# Override: DSCALER_GNSILU_SITES — comma list out of {unet, vae}; "" turns
+# the kernel off everywhere, "unet,vae" restores the round-3 behavior.
+_GNSILU_SITES = frozenset(
+    s.strip()
+    for s in os.environ.get("DSCALER_GNSILU_SITES", "vae").split(",")
+    if s.strip()
+)
+
+
+def set_gnsilu_sites(spec: str) -> None:
+    """Override the gn_silu per-site plan at runtime (same syntax as the
+    DSCALER_GNSILU_SITES env var)."""
+    global _GNSILU_SITES
+    _GNSILU_SITES = frozenset(s.strip() for s in spec.split(",") if s.strip())
+
+
+def gn_silu(x, gn_scale, gn_bias, *, eps: float = 1e-5, act: bool = True,
+            site: str = "unet"):
     """GroupNorm(32) [-> SiLU] as one elementwise pass with precomputed
     folded statistics (the ResBlock / TemporalConvBlock prologue,
     openaimodel3d.py:115-309; VAE resnet/attn norms with eps=1e-6,
     ae_modules.py:19-23). x: [B, *spatial, C], stats per sample B.
-    Kill switch: DSCALER_FUSE_DISABLE=gnsilu."""
+    Kill switches: DSCALER_FUSE_DISABLE=gnsilu (all sites) and the
+    per-site DSCALER_GNSILU_SITES plan (see _GNSILU_SITES above)."""
     B = x.shape[0]
     C = x.shape[-1]
     mul, add = group_norm_fold(x, gn_scale, gn_bias, eps=eps)
     use_kernel = (
         _mode() != "off"
+        and site in _GNSILU_SITES
         and not fused_temporal.kernel_disabled("gnsilu")
         and (_mode() == "interpret" or fused_temporal._tpu_available())
     )

@@ -101,8 +101,15 @@ def test_gn_silu_interpret_vs_fallback_and_flax():
     fused_temporal.set_mode("off")
     ref = fused_twrap.gn_silu(x, gs, gb)
     fused_temporal.set_mode("interpret")
-    got = fused_twrap.gn_silu(x, gs, gb)
+    # site="vae" is kernel-on by default; site="unet" is demoted to the XLA
+    # fallback (measured UNet regression, see _GNSILU_SITES) — both must
+    # agree with the unfused reference.
+    got = fused_twrap.gn_silu(x, gs, gb, site="vae")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    got_unet = fused_twrap.gn_silu(x, gs, gb, site="unet")
+    np.testing.assert_allclose(
+        np.asarray(got_unet), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
 
     # vs flax GroupNorm + silu (the unfused module semantics)
     gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
