@@ -51,8 +51,11 @@ if [[ "${1:-}" != "--skip-e2e" ]]; then
   run e2e_warm 3600 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
 fi
 run bench 3600 python bench.py
-run ablate 7200 python dev/ablate_unet.py full full_nofused convs_only \
-  no_k_mega_s no_k_block no_k_wrap no_k_gnsilu no_k_temporal no_k_spatial \
-  no_k_cross no_k_ff
+# focused ablation: full + the SoL ceiling (convs_only — gnsilu touches the
+# ResBlocks, so the ceiling must be re-measured whenever dispatch changes)
+# + k_gnsilu_unet re-checking the demoted unet site. The full 11-variant
+# per-class sweep was landed at acee677 (BENCH_NOTES round-4).
+run ablate 5400 python dev/ablate_unet.py full full_nofused convs_only k_gnsilu_unet
+run bench_vae 1800 python dev/bench_vae.py
 run bench_block_xfmr 5400 python dev/bench_block.py xfmr
 echo "checklist done — artifacts in $OUT" | tee -a "$OUT/summary.log"
