@@ -10,6 +10,8 @@ invocation) and the single-prompt path of the batch eval, as a plain CLI.
       --image input/city_fireworks.png --ckpt_path i2v.ckpt
   python -m dynamicscaler_tpu.cli.sample --mode fifo --prompt "..." \
       --num_frames 128 --ckpt_path t2v.ckpt
+  python -m dynamicscaler_tpu.cli.sample --mode freetraj --prompt "a red car" \
+      --traj "0:0.3-0.7:0.0-0.4;1:0.3-0.7:0.6-1.0" --ckpt_path t2v.ckpt
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["t2v", "i2v", "fifo"], default="t2v")
+    p.add_argument("--mode", choices=["t2v", "i2v", "fifo", "freetraj"], default="t2v")
     p.add_argument("--prompt", type=str, required=True)
     p.add_argument("--image", type=str, default="", help="cond image (i2v)")
     p.add_argument("--ckpt_path", type=str, default="")
@@ -39,7 +41,32 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--dev_tiny", action="store_true")
+    p.add_argument(
+        "--traj", type=str, default="",
+        help="FreeTraj keyframes 'f:h0-h1:w0-w1;...' — f a frame index or "
+        "0..1 fraction, box coords fractions of the video extent",
+    )
+    p.add_argument("--traj_token_ids", type=str, default="",
+                   help="comma list of prompt token positions of the target "
+                   "word (default 2: first content token)")
+    p.add_argument("--traj_thres", type=float, default=600.0,
+                   help="spatial trajectory masking applies while t > thres")
     return p.parse_args(argv)
+
+
+def parse_traj_spec(spec: str):
+    """'f:h0-h1:w0-w1;...' -> keyframe rows (f, h0, h1, w0, w1)."""
+    rows = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        f, hs, ws = part.split(":")
+        h0, h1 = (float(v) for v in hs.split("-"))
+        w0, w1 = (float(v) for v in ws.split("-"))
+        rows.append((float(f), h0, h1, w0, w1))
+    assert rows, f"empty --traj spec {spec!r}"
+    return rows
 
 
 def _enable_cache():
@@ -94,6 +121,22 @@ def main(args):
 
         video, _ = t2v.basic_sample(
             model, args.prompt, frames=args.frames,
+            num_inference_steps=args.num_inference_steps, **common,
+        )
+    elif args.mode == "freetraj":
+        from dynamicscaler_tpu.pipelines import t2v
+
+        assert args.traj, "--traj keyframe spec required for freetraj mode"
+        token_ids = (
+            [int(v) for v in args.traj_token_ids.split(",") if v]
+            if args.traj_token_ids
+            else None
+        )
+        video, _ = t2v.freetraj_sample(
+            model, args.prompt,
+            traj_keyframes=parse_traj_spec(args.traj),
+            traj_token_ids=token_ids, traj_thres=args.traj_thres,
+            frames=args.frames,
             num_inference_steps=args.num_inference_steps, **common,
         )
     elif args.mode == "fifo":

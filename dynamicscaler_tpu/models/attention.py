@@ -34,6 +34,7 @@ from dynamicscaler_tpu.models.layers import (
     ProjParams,
     layer_norm,
 )
+from dynamicscaler_tpu.ops import freetraj as freetraj_ops
 from dynamicscaler_tpu.ops import fused_block, fused_spatial, fused_temporal
 from dynamicscaler_tpu.ops.attention import attention as _fused_attention
 
@@ -68,6 +69,51 @@ class CrossAttention(nn.Module):
     temporal_length: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
+    def _traj_attention(self, qh, kh, vh, scale, mask, traj):
+        """FreeTraj-re-weighted attention (reference
+        attention_freetraj.py:178-230 temporal multiplicative mask,
+        :319-389 spatial self/cross). ``traj`` is a per-call dict built by
+        the transformer wrappers (models/unet3d.py): self-attention gets
+        {fg: [B, N] 0/1, active: [B] bool}; cross-attention additionally
+        {fg_tok: [M_text] bool, wadd: [B, N] post-softmax bump}. Logits are
+        computed explicitly here — the rank-1 re-weighting fuses into the
+        XLA softmax chain, never materialized standalone."""
+        assert not self.relative_position, "FreeTraj + rel-pos unsupported"
+        logits = (
+            jnp.einsum("bhnd,bhmd->bhnm", qh, kh).astype(jnp.float32) * scale
+        )
+        act = traj["active"][:, None, None, None]  # [B,1,1,1]
+        if "fg_tok" not in traj:
+            # self (spatial tokens or frame tokens): multiplicative fg/bg
+            # pairing, coef floor — reference sim *= sim_mask
+            mul = freetraj_ops.pair_mul(traj["fg"].astype(jnp.float32))
+            logits = jnp.where(act, logits * mul[:, None], logits)
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1)
+        else:
+            # cross (attention_freetraj.py:352-389): at active frames, ALL
+            # text logits of in-box queries are floored to finfo.min (the
+            # row softmaxes to uniform) and target-word columns are floored
+            # for out-of-box queries; the target word then gets the
+            # post-softmax gaussian bump inside the box.
+            fgq = traj["fg"] > 0.5  # [B, N]
+            blocked = traj["active"][:, None, None, None] & (
+                fgq[:, None, :, None] | traj["fg_tok"][None, None, None, :]
+            )
+            logits = jnp.where(blocked, jnp.finfo(jnp.float32).min, logits)
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1)
+            wadd = (
+                traj["wadd"].astype(jnp.float32)[:, None, :, None]
+                * traj["fg_tok"][None, None, None, :]
+            )
+            probs = probs + jnp.where(act, wadd, 0.0)
+        return jnp.einsum(
+            "bhnm,bhmd->bhnd", probs.astype(vh.dtype), vh
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -77,6 +123,7 @@ class CrossAttention(nn.Module):
         ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         add_residual: bool = False,
         params_only: bool = False,
+        traj: Optional[dict] = None,
     ):
         h, d = self.heads, self.dim_head
         inner = h * d
@@ -113,7 +160,8 @@ class CrossAttention(nn.Module):
             return (wq, wk, wv, wo, bo)
 
         if (
-            ln is not None
+            traj is None
+            and ln is not None
             and context is None
             and mask is None
             and not self.relative_position
@@ -130,7 +178,8 @@ class CrossAttention(nn.Module):
                 )
 
         if (
-            ln is not None
+            traj is None
+            and ln is not None
             and context is not None
             and mask is None
             and not self.relative_position
@@ -183,7 +232,10 @@ class CrossAttention(nn.Module):
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]  # [B, 1, N, M]
 
-        out = scaled_attention(qh, kh, vh, scale, bias=bias, mask=mask)
+        if traj is not None:
+            out = self._traj_attention(qh, kh, vh, scale, mask, traj)
+        else:
+            out = scaled_attention(qh, kh, vh, scale, bias=bias, mask=mask)
 
         if self.relative_position:
             # second-order value term: probs @ rel_v — recompute probs
@@ -227,7 +279,12 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None, params_only: bool = False):
+    def __call__(self, x, context=None, mask=None, params_only: bool = False,
+                 traj: Optional[dict] = None):
+        # traj: {"self": <dict|None>, "cross": <dict|None>} — FreeTraj
+        # re-weighting per attention class (see CrossAttention._traj_attention)
+        traj_self = traj.get("self") if traj else None
+        traj_cross = traj.get("cross") if traj else None
         s1, b1 = LNParams(self.dim, name="norm1")()
         s2, b2 = LNParams(self.dim, name="norm2")()
         attn_kwargs = dict(
@@ -262,6 +319,8 @@ class BasicTransformerBlock(nn.Module):
         # sub-blocks in one pallas_call, activation tile VMEM-resident
         whole_block = (
             mask is None
+            and traj_self is None
+            and traj_cross is None
             and not self.relative_position
             and (
                 fused_block.temporal_block_fusable(N, inner, self.dim, self.heads)
@@ -288,8 +347,9 @@ class BasicTransformerBlock(nn.Module):
                 text_len=self.text_context_len,
             )
 
-        x = attn1(x, mask=mask, ln=(s1, b1), add_residual=True)
-        x = attn2(x, context=context, mask=mask, ln=(s2, b2), add_residual=True)
+        x = attn1(x, mask=mask, ln=(s1, b1), add_residual=True, traj=traj_self)
+        x = attn2(x, context=context, mask=mask, ln=(s2, b2), add_residual=True,
+                  traj=traj_cross)
         s3, b3 = LNParams(self.dim, name="norm3")()
         x = ffm(x, ln=(s3, b3), add_residual=True)
         return x

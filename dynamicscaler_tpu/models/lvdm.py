@@ -171,12 +171,14 @@ class LatentVideoDiffusion:
         )
         return eps.reshape(-1, *eps.shape[2:])[:n]
 
-    def apply_unet(self, x, t, context, fps=16, params=None, no_temporal_attn=False):
+    def apply_unet(self, x, t, context, fps=16, params=None, no_temporal_attn=False,
+                   traj=None):
         """eps prediction. x: [B, F, H, W, C]; context: [B, L, D].
         ``no_temporal_attn`` skips temporal transformers (the legacy
-        sampler's temporal-guidance probe, samplers/ddim.py:228-231)."""
+        sampler's temporal-guidance probe, samplers/ddim.py:228-231).
+        ``traj``: optional ops.freetraj.FreeTraj trajectory control."""
         p = params if params is not None else self.params
-        return self.unet.apply(p["unet"], x, t, context, fps, no_temporal_attn)
+        return self.unet.apply(p["unet"], x, t, context, fps, no_temporal_attn, traj)
 
     def encode_text_tokens(self, tokens, params=None):
         p = params if params is not None else self.params

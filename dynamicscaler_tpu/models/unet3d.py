@@ -33,6 +33,7 @@ from dynamicscaler_tpu.models.layers import (
     timestep_embedding,
 )
 from dynamicscaler_tpu.models.attention import BasicTransformerBlock
+from dynamicscaler_tpu.ops import freetraj as freetraj_ops
 from dynamicscaler_tpu.ops import fused_mega, fused_twrap
 
 
@@ -138,6 +139,59 @@ def unet_layout(cfg: UNetConfig) -> Tuple[List[List[BlockSpec]], List[List[Block
 
 
 # ---------------------------------------------------------------------------
+# FreeTraj per-level mask factors (ops/freetraj.py). Built lazily at each
+# attention level from the [F, 4] box path — O(B*N) arrays; the rank-1
+# [N, N] re-weighting is composed inside the attention logits
+# (models/attention.py:_traj_attention) so it fuses and never hits HBM.
+# ---------------------------------------------------------------------------
+
+
+def freetraj_spatial(traj, shape, num_frames: int):
+    """Per-call dict for a SpatialTransformer at latent shape [(B F),H,W,C]:
+    {"self": {fg, active} | None, "cross": {fg, active, fg_tok, wadd} | None}
+    (reference attention_freetraj.py:319-389; gated per frame by
+    ``traj.active``)."""
+    if traj is None or not (traj.self_attn or traj.cross_attn):
+        return None
+    BF, H, W, _ = shape
+    F = num_frames
+    B = BF // F
+    fgm = freetraj_ops.fg_map(traj.paths, H, W).reshape(F, H * W)
+    fg = jnp.tile(fgm, (B, 1))  # [(B F), N]
+    active = traj.active.reshape(BF)
+    d = {"self": None, "cross": None}
+    if traj.self_attn:
+        d["self"] = {"fg": fg, "active": active}
+    if traj.cross_attn:
+        wadd = freetraj_ops.cross_weight_map(
+            traj.paths, H, W, traj.fg_tok.sum()
+        ).reshape(F, H * W)
+        d["cross"] = {
+            "fg": fg,
+            "active": active,
+            "fg_tok": traj.fg_tok,
+            "wadd": jnp.tile(wadd, (B, 1)),
+        }
+    return d
+
+
+def freetraj_temporal(traj, shape, num_frames: int):
+    """Per-call dict for a TemporalTransformer (tokens = frames, batch =
+    (B H W) row-major, ops/fused_twrap.py:311-329): fg indicator says
+    whether the box covers this spatial position at each frame. Ungated by
+    timestep, as in the reference forward() (attention_freetraj.py:178)."""
+    if traj is None or not traj.temporal_attn:
+        return None
+    BF, H, W, _ = shape
+    F = num_frames
+    B = BF // F
+    fgm = freetraj_ops.fg_map(traj.paths, H, W)  # [F, H, W]
+    fg = jnp.tile(fgm.transpose(1, 2, 0).reshape(H * W, F), (B, 1))
+    active = jnp.ones((B * H * W,), bool)
+    return {"self": {"fg": fg, "active": active}, "cross": None}
+
+
+# ---------------------------------------------------------------------------
 # Sub-modules
 # ---------------------------------------------------------------------------
 
@@ -218,7 +272,7 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, traj=None):
         BF, H, W, C = x.shape
         inner = self.heads * self.dim_head
         x_in = x
@@ -246,6 +300,7 @@ class SpatialTransformer(nn.Module):
         xd = x.astype(self.dtype)
         if (
             self.depth == 1
+            and traj is None
             and context is not None
             and fused_mega.spatial_ok(H * W, C, inner, self.heads, context.shape[-1])
         ):
@@ -261,7 +316,7 @@ class SpatialTransformer(nn.Module):
             )
         h = fused_twrap.gn_proj_in_spatial(xd, gs, gb, w_in, b_in)
         for blk in blocks:
-            h = blk(h, context=context)
+            h = blk(h, context=context, traj=traj)
         return fused_twrap.tail_spatial(h, x_in.astype(self.dtype), w_out, b_out)
 
 
@@ -284,7 +339,7 @@ class TemporalTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_frames: int, context=None):
+    def __call__(self, x, num_frames: int, context=None, traj=None):
         BF, H, W, C = x.shape
         B = BF // num_frames
         F = num_frames
@@ -325,6 +380,7 @@ class TemporalTransformer(nn.Module):
         if (
             self.depth == 1
             and mask is None
+            and traj is None
             and not self.relative_position
             and fused_mega.temporal_ok(F, C, inner, self.heads, H, W)
         ):
@@ -340,7 +396,7 @@ class TemporalTransformer(nn.Module):
 
         h = fused_twrap.gn_proj_in_temporal(x5, gs, gb, w_in, b_in)
         for blk in blocks:
-            h = blk(h, mask=mask)
+            h = blk(h, mask=mask, traj=traj)
 
         h5 = fused_twrap.tail_temporal(h, x5, w_out, b_out)
         return h5.reshape(BF, H, W, C)
@@ -446,17 +502,20 @@ class UNet3D(nn.Module):
             kernel_init=nn.initializers.zeros, name="out_conv",
         )
 
-    def _apply_specs(self, specs, layers, h, emb, context, F, no_temporal_attn=False):
+    def _apply_specs(self, specs, layers, h, emb, context, F,
+                     no_temporal_attn=False, traj=None):
         for spec, layer in zip(specs, layers):
             if spec.kind in ("conv_in", "down", "up"):
                 h = layer(h)
             elif spec.kind == "res":
                 h = layer(h, emb, F)
             elif spec.kind == "spatial":
-                h = layer(h, context=context)
+                h = layer(h, context=context,
+                          traj=freetraj_spatial(traj, h.shape, F))
             elif spec.kind == "temporal":
                 if not no_temporal_attn:
-                    h = layer(h, num_frames=F)
+                    h = layer(h, num_frames=F,
+                              traj=freetraj_temporal(traj, h.shape, F))
         return h
 
     def __call__(
@@ -466,6 +525,7 @@ class UNet3D(nn.Module):
         context: jnp.ndarray,  # [B, L, context_dim]
         fps,  # scalar or [B]
         no_temporal_attn: bool = False,
+        traj=None,  # Optional[ops.freetraj.FreeTraj] — trajectory control
     ) -> jnp.ndarray:
         cfg = self.cfg
         B, F, H, W, C = x.shape
@@ -491,16 +551,20 @@ class UNet3D(nn.Module):
 
         hs = []
         for i, (specs, layers) in enumerate(zip(self._in_specs, self.in_layers)):
-            h = self._apply_specs(specs, layers, h, emb, ctx, F, no_temporal_attn)
+            h = self._apply_specs(specs, layers, h, emb, ctx, F,
+                                  no_temporal_attn, traj)
             if i == 0 and cfg.addition_attention and not no_temporal_attn:
-                h = self.init_attn(h, num_frames=F)
+                h = self.init_attn(h, num_frames=F,
+                                   traj=freetraj_temporal(traj, h.shape, F))
             hs.append(h)
 
-        h = self._apply_specs(self._mid_specs, self.mid_layers, h, emb, ctx, F, no_temporal_attn)
+        h = self._apply_specs(self._mid_specs, self.mid_layers, h, emb, ctx, F,
+                              no_temporal_attn, traj)
 
         for specs, layers in zip(self._out_specs, self.out_layers):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_specs(specs, layers, h, emb, ctx, F, no_temporal_attn)
+            h = self._apply_specs(specs, layers, h, emb, ctx, F,
+                                  no_temporal_attn, traj)
 
         gs_out, gb_out = self.out_norm()
         h = fused_twrap.gn_silu(h, gs_out, gb_out, eps=1e-5)

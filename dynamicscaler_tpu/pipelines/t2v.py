@@ -126,6 +126,115 @@ def basic_sample(
     return video, denoised
 
 
+@partial(jax.jit, static_argnames=("model", "guidance_scale", "fps"))
+def _freetraj_sample_loop(
+    params,
+    schedule: DDIMSchedule,
+    latent: jnp.ndarray,
+    context: jnp.ndarray,
+    uncond: jnp.ndarray,
+    traj,
+    traj_thres: jnp.ndarray,
+    *,
+    model: LatentVideoDiffusion,
+    guidance_scale: float,
+    fps: int,
+):
+    """basic_sample's scan with FreeTraj attention re-weighting: the
+    trajectory state is re-gated per step from the current timestep
+    (spatial masking only while t > thres; temporal re-weighting always)."""
+    from dynamicscaler_tpu.ops import freetraj as freetraj_ops
+
+    S = schedule.num_ddim_steps
+    F = latent.shape[1]
+    ctx2 = jnp.concatenate([context, uncond], axis=0)
+
+    def body(lat, i):
+        index = S - 1 - i
+        t = schedule.ddim_timesteps[index]
+        tr = freetraj_ops.gate_active(traj, jnp.full((2,), t), traj_thres, 2, F)
+        x2 = jnp.concatenate([lat, lat], axis=0)
+        eps = model.apply_unet(
+            x2, jnp.full((2,), t), ctx2, fps, params=params, traj=tr
+        )
+        eps = eps[1:] + guidance_scale * (eps[:1] - eps[1:])
+        lat, den = ddim_step(schedule, lat, eps, jnp.full((F,), index))
+        return lat, den
+
+    latent, dens = jax.lax.scan(body, latent, jnp.arange(S))
+    return latent, dens[-1]
+
+
+def freetraj_sample(
+    model: LatentVideoDiffusion,
+    prompt: str,
+    traj_keyframes: Sequence[Sequence[float]],
+    traj_token_ids: Optional[Sequence[int]] = None,
+    traj_thres: float = 600.0,
+    traj_classes: Tuple[bool, bool, bool] = (True, True, True),
+    height: int = 320,
+    width: int = 512,
+    frames: int = 16,
+    fps: int = 16,
+    guidance_scale: float = 7.5,
+    num_inference_steps: int = 48,
+    key: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Single-window t2v with FreeTraj trajectory control — a WORKING
+    version of the reference's dead FreeTraj variant
+    (lvdm/modules/attention_freetraj.py, openaimodel3d_freetraj.py; see
+    ops/freetraj.py for the semantics and deviations).
+
+    ``traj_keyframes``: rows (frame_idx | frac, h0, h1, w0, w1) — the
+    foreground box path, fractions of the video extent.
+    ``traj_token_ids``: prompt token positions of the target word
+    (default [2]: first content token after BOS for a one-word subject).
+    ``traj_classes``: (temporal_attn, self_attn, cross_attn).
+    Returns (video or None, denoised latent [1, F, h, w, C]).
+    """
+    from dynamicscaler_tpu.ops import freetraj as freetraj_ops
+
+    assert key is not None, "need a PRNG key for the initial noise"
+    sched = make_schedule_for_model(model, num_inference_steps)
+    vs = model.config.vae.spatial_scale
+    h, w = height // vs, width // vs
+
+    context = model.encode_text([prompt])
+    uncond = build_uncond_context(model, with_image=False)
+    if model.config.unet.use_image_attention:
+        raise ValueError("freetraj_sample is a t2v path; i2v conditioning unsupported")
+
+    traj = freetraj_ops.make_freetraj(
+        traj_keyframes,
+        frames,
+        text_len=model.config.unet.text_context_len,
+        fg_token_ids=traj_token_ids,
+        batch=2,  # CFG-packed (cond, uncond)
+        temporal_attn=traj_classes[0],
+        self_attn=traj_classes[1],
+        cross_attn=traj_classes[2],
+    )
+
+    latents = jax.random.normal(
+        key, (1, frames, h, w, model.config.unet.in_channels)
+    )
+    latent, denoised = _freetraj_sample_loop(
+        model.params,
+        sched,
+        latents,
+        context,
+        uncond,
+        traj,
+        jnp.asarray(traj_thres, jnp.float32),
+        model=model,
+        guidance_scale=guidance_scale,
+        fps=fps,
+    )
+    video = model.decode_video(denoised) if decode else None
+    return video, denoised
+
+
 def sample_shift_multi_windows(
     model: LatentVideoDiffusion,
     prompt: str,
