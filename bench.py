@@ -53,33 +53,53 @@ def load_e2e_measurement():
     return rec
 
 
-def load_speed_of_light(achieved_gflops):
+def load_speed_of_light(achieved_gflops, sec_per_tile=None, fwd_sec_per_tile=None):
     """North-star accounting (BASELINE.md: per-tile denoise throughput >=80%
-    of single-view UNet speed-of-light). The ceiling is DEFINED as the
-    *measured* achieved GFLOP/s of the convs-only UNet variant (attention +
-    temporal transformers stripped; dev/ablate_unet.py) — the best sustained
-    rate this chip reaches on the model's own conv workload, i.e. the
-    realistic speed-of-light for this architecture. pct_of_sol compares the
-    full tile-denoise step's achieved GFLOP/s against it."""
+    of single-view UNet speed-of-light).
+
+    Primary ratio: per-tile time of the full tile-denoise step (CFG-packed
+    UNet + DDIM + readback) vs the bare single-view UNet forwards it
+    contains (2x CFG), measured in THIS run on this chip — i.e. how close
+    the tiled step comes to "just running the UNet". Structurally <=100%;
+    the gap is scheduler + dispatch + readback overhead.
+
+    Secondary: achieved GFLOP/s vs the measured convs-only UNet rate
+    (dev/ablate_unet.py). That ceiling is conservative — attention/FF
+    sustain HIGHER GFLOP/s than the conv workload here, so this ratio can
+    legitimately exceed 100%; it is reported for continuity, not as the
+    pass/fail metric."""
+    out = {}
+    if sec_per_tile and fwd_sec_per_tile:
+        pct = fwd_sec_per_tile / sec_per_tile
+        out.update({
+            "pct_of_sol": round(pct, 4),
+            "pass_80pct": bool(pct >= 0.80),
+            "sol_def": "bare 2x-CFG UNet fwd time per tile / achieved step "
+                       "time per tile (same run, same chip)",
+            "bare_unet_ms_per_tile": round(fwd_sec_per_tile * 1e3, 2),
+            "achieved_ms_per_tile": round(sec_per_tile * 1e3, 2),
+        })
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "ablate_latest.json")
     try:
         with open(path) as f:
             rec = json.load(f)
         ceiling = rec["variants"]["convs_only"]["gflops_per_sec"]
+        out["gflops_vs_convs_ceiling"] = {
+            "ceiling_gflops_per_sec": ceiling,
+            "achieved_gflops_per_sec": round(achieved_gflops, 1),
+            "ratio": round(achieved_gflops / ceiling, 4) if ceiling else None,
+            "ceiling_def": "measured convs-only UNet achieved GFLOP/s "
+                           "(conservative; can be exceeded, see docstring)",
+            "ceiling_commit": rec.get("commit"),
+            "ceiling_measured_at": rec.get("measured_at"),
+        }
     except Exception:
-        return {"pct_of_sol": None,
-                "note": "run dev/ablate_unet.py convs_only to set the ceiling"}
-    pct = achieved_gflops / ceiling if ceiling else None
-    return {
-        "ceiling_gflops_per_sec": ceiling,
-        "achieved_gflops_per_sec": round(achieved_gflops, 1),
-        "pct_of_sol": round(pct, 4) if pct is not None else None,
-        "pass_80pct": bool(pct is not None and pct >= 0.80),
-        "ceiling_def": "measured convs-only UNet achieved GFLOP/s",
-        "ceiling_commit": rec.get("commit"),
-        "ceiling_measured_at": rec.get("measured_at"),
-    }
+        out.setdefault("note",
+                       "run dev/ablate_unet.py convs_only for the ceiling")
+    if "pct_of_sol" not in out:
+        out["pct_of_sol"] = None
+    return out
 
 
 def main():
@@ -159,6 +179,19 @@ def main():
 
     sec_per_step = elapsed / TIMED_ITERS
     tiles_per_sec = WINDOWS / sec_per_step
+
+    # bare single-view UNet forward at the same microbatch — the north-star
+    # denominator (one fwd covers MICROBATCH tiles' one CFG branch, so the
+    # plain per-tile cost is 2*fwd/MICROBATCH)
+    jfwd = jax.jit(lambda p, x, c: unet.apply(p, x, t, c, 16).sum())
+    xs1, cs1 = lat[:MICROBATCH], ctx[:MICROBATCH]
+    float(jfwd(params, xs1, cs1))
+    float(jfwd(params, xs1, cs1))
+    fstart = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        float(jfwd(params, xs1, cs1))
+    fwd_sec = (time.perf_counter() - fstart) / TIMED_ITERS
+    fwd_sec_per_tile = 2.0 * fwd_sec / MICROBATCH
     have_flops = flops_per_call == flops_per_call
     mfu = (flops_per_call / sec_per_step) / V5E_PEAK_BF16_FLOPS if have_flops else None
 
@@ -184,7 +217,10 @@ def main():
                     "mfu": round(mfu, 4) if mfu is not None else None,
                     "speed_of_light": load_speed_of_light(
                         flops_per_call / sec_per_step / 1e9
-                    ) if have_flops else None,
+                        if have_flops else float("nan"),
+                        sec_per_tile=sec_per_step / WINDOWS,
+                        fwd_sec_per_tile=fwd_sec_per_tile,
+                    ),
                     "baseline": "analytic A100 torch-eager @60 TFLOP/s effective",
                     "e2e_single_chip": load_e2e_measurement()
                     or "not measured — run cli.gen_pano_360 at default geometry",

@@ -100,7 +100,8 @@ def measure(name):
         )
     except Exception:
         fl = float("nan")
-    print(f"{name:14s}: {per_fwd:7.1f} ms/fwd  {fl/1e12:6.1f} TF  {fl/per_fwd/1e9:6.0f} GFLOP/s")
+    # per_fwd is in ms: FLOP / (ms/1e3) / 1e9 = fl / per_fwd / 1e6 GFLOP/s
+    print(f"{name:14s}: {per_fwd:7.1f} ms/fwd  {fl/1e12:6.1f} TF  {fl/per_fwd/1e6:6.0f} GFLOP/s")
     return per_fwd, fl
 
 
@@ -143,7 +144,8 @@ def record(results):
         rec["variants"][name] = {
             "ms_per_fwd": round(ms, 1),
             "tflops": round(fl / 1e12, 2) if fl == fl else None,
-            "gflops_per_sec": round(fl / ms / 1e9, 1) if fl == fl else None,
+            # ms is milliseconds: fl / (ms/1e3) / 1e9 == fl / ms / 1e6
+            "gflops_per_sec": round(fl / ms / 1e6, 1) if fl == fl else None,
         }
     rec["measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
     rec["measured_at_unix"] = time.time()

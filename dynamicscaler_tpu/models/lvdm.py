@@ -52,9 +52,15 @@ class LatentVideoDiffusion:
         )
         # jitted encoder/decoder entry points: un-jitted flax apply of the
         # big towers costs ~3s of Python dispatch per call (measured) —
-        # retraces per input shape, cached thereafter
-        self._jit_text = jax.jit(
-            lambda p, toks: self.text_encoder.apply(p["clip_text"], toks)
+        # retraces per input shape, cached thereafter. All ride the
+        # persistent trace cache (utils/progcache.py): warm processes load
+        # serialized StableHLO instead of re-tracing the towers.
+        from dynamicscaler_tpu.utils.progcache import cached_jit, obj_fingerprint
+
+        _fp = obj_fingerprint(self.config)
+        self._jit_text = cached_jit(
+            lambda p, toks: self.text_encoder.apply(p["clip_text"], toks),
+            name="clip_text", fingerprint=_fp,
         )
         if self.image_encoder is not None:
             def _img_one(p, imgs):
@@ -66,24 +72,28 @@ class LatentVideoDiffusion:
                     ),
                 )
 
-            self._jit_img = jax.jit(_img_one)
-            self._jit_img_chunked = jax.jit(
+            self._jit_img = cached_jit(_img_one, name="clip_img", fingerprint=_fp)
+            self._jit_img_chunked = cached_jit(
                 lambda p, imgs, mb: jax.lax.map(
                     lambda ch: _img_one(p, ch),
                     imgs.reshape((-1, mb) + imgs.shape[1:]),
                 ).reshape((imgs.shape[0],) + (
                     self.config.resampler.num_queries, self.config.resampler.output_dim,
                 )),
+                name="clip_img_chunked", fingerprint=_fp,
                 static_argnums=(2,),
             )
-        self._jit_vae_encode = jax.jit(
-            lambda p, x: self.vae.apply(p["vae"], x, None, method=AutoencoderKL.encode)
+        self._jit_vae_encode = cached_jit(
+            lambda p, x: self.vae.apply(p["vae"], x, None, method=AutoencoderKL.encode),
+            name="vae_encode", fingerprint=_fp,
         )
-        self._jit_vae_encode_sampled = jax.jit(
-            lambda p, x, key: self.vae.apply(p["vae"], x, key, method=AutoencoderKL.encode)
+        self._jit_vae_encode_sampled = cached_jit(
+            lambda p, x, key: self.vae.apply(p["vae"], x, key, method=AutoencoderKL.encode),
+            name="vae_encode_sampled", fingerprint=_fp,
         )
-        self._jit_vae_decode = jax.jit(
-            lambda p, z: self.vae.apply(p["vae"], z, method=AutoencoderKL.decode)
+        self._jit_vae_decode = cached_jit(
+            lambda p, z: self.vae.apply(p["vae"], z, method=AutoencoderKL.decode),
+            name="vae_decode", fingerprint=_fp,
         )
 
     # -- constructors -------------------------------------------------------
@@ -138,9 +148,14 @@ class LatentVideoDiffusion:
         )
         # store params in the compute dtype (a 1.44B-param fp32 tree is
         # 5.8 GB of HBM that the bf16 modules would down-cast per use anyway;
-        # same convention as bench.py)
+        # same convention as bench.py). Build the whole tree in ONE jitted
+        # program: per-leaf jnp.full would be ~1700 individual device ops —
+        # 75s of remote round trips through the axon tunnel (measured,
+        # results/tpu_checklist_20260819_151137).
         dt = config.jnp_dtype
-        params = jax.tree.map(lambda s: jnp.full(s.shape, value, dt), shapes)
+        params = jax.jit(
+            lambda: jax.tree.map(lambda s: jnp.full(s.shape, value, dt), shapes)
+        )()
         return cls(config=config, params=params, tokenizer=tokenizer)
 
     # -- pure apply methods --------------------------------------------------

@@ -136,21 +136,38 @@ class PlanarShiftWindowEngine:
         )
         hit = _STEP_FN_CACHE.get(ck)
         if hit is None:
-            fn = jax.jit(
-                partial(
-                    _window_step,
-                    model=model,
-                    sizes=window_sizes,
-                    guidance=guidance_scale,
-                    fps=fps,
-                    mode=overlap_mode,
-                    mesh=mesh,
-                    unet_microbatch=unet_microbatch,
-                ),
-                # the previous step's latent/denoised buffers are dead after
-                # the call — donate them so giant panoramas update in place
-                donate_argnums=(2, 3),
+            step_partial = partial(
+                _window_step,
+                model=model,
+                sizes=window_sizes,
+                guidance=guidance_scale,
+                fps=fps,
+                mode=overlap_mode,
+                mesh=mesh,
+                unet_microbatch=unet_microbatch,
             )
+            if mesh is None:
+                # persistent trace cache: warm processes skip the minutes of
+                # client-side tracing/lowering of this program entirely
+                # (utils/progcache.py; measured in BENCH_NOTES round-4)
+                from dynamicscaler_tpu.utils import progcache
+
+                fn = progcache.cached_jit(
+                    step_partial,
+                    name="planar_step",
+                    fingerprint=progcache.obj_fingerprint(
+                        model.config, window_sizes, guidance_scale, fps,
+                        overlap_mode, unet_microbatch,
+                    ),
+                    # the previous step's latent/denoised buffers are dead
+                    # after the call — donate them so giant panoramas update
+                    # in place
+                    donate_argnums=(2, 3),
+                )
+            else:
+                # exported modules pin device assignments; mesh runs keep
+                # plain jit (multi-chip launches are long-lived anyway)
+                fn = jax.jit(step_partial, donate_argnums=(2, 3))
             # keep model/mesh alive so the id() keys can't be reused
             _STEP_FN_CACHE[ck] = (fn, model, mesh)
             hit = _STEP_FN_CACHE[ck]

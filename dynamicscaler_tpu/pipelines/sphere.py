@@ -47,6 +47,12 @@ from dynamicscaler_tpu.utils.timing import LoopStats
 # e2e artifact (wall-clock alone is tunnel-RPC noisy, BENCH_NOTES.md)
 LOOP_STATS = LoopStats()
 
+# one cached-jit step object per static signature, shared across sampler
+# calls in a process (AOT warm + real stage share one program; see planar's
+# _STEP_FN_CACHE for the measured rationale). Values keep the model alive
+# so id() keys can't be reused.
+_SPHERE_STEP_CACHE: dict = {}
+
 
 # ---------------------------------------------------------------------------
 # host-side precomputation
@@ -720,20 +726,46 @@ def sample_shift_sphere_panorama(
     if overlap_ratio_list_f is None:
         overlap_ratio_list_f = [0.5] * S
 
-    step_fn = jax.jit(
-        partial(
-            _sphere_step,
-            model=model,
-            frames=frames,
-            guidance=guidance_scale,
-            fps=fps,
-            mode=overlap_mode,
-            unet_microbatch=unet_microbatch,
-            mesh=mesh,
-            get_scale=view_get_scale_factor,
-            set_scale=view_set_scale_factor,
-        ),
+    step_partial = partial(
+        _sphere_step,
+        model=model,
+        frames=frames,
+        guidance=guidance_scale,
+        fps=fps,
+        mode=overlap_mode,
+        unet_microbatch=unet_microbatch,
+        mesh=mesh,
+        get_scale=view_get_scale_factor,
+        set_scale=view_set_scale_factor,
     )
+    if mesh is None:
+        # persistent trace cache: a warm process skips re-tracing the big
+        # per-phase step programs (utils/progcache.py). In-process reuse
+        # (repeat calls, AOT warm) comes from _CachedJit's signature table.
+        from dynamicscaler_tpu.utils import progcache
+
+        sk = (
+            id(model), frames, guidance_scale, fps, overlap_mode,
+            unet_microbatch, view_get_scale_factor, view_set_scale_factor,
+        )
+        hit = _SPHERE_STEP_CACHE.get(sk)
+        if hit is None:
+            fn = progcache.cached_jit(
+                step_partial,
+                name="sphere_step",
+                fingerprint=progcache.obj_fingerprint(
+                    model.config, frames, guidance_scale, fps, overlap_mode,
+                    unet_microbatch, view_get_scale_factor,
+                    view_set_scale_factor,
+                ),
+                # no donation (unlike planar): the incoming latent can alias
+                # a caller-held array (init_sphere_latent resume path)
+            )
+            _SPHERE_STEP_CACHE[sk] = (fn, model)
+            hit = _SPHERE_STEP_CACHE[sk]
+        step_fn = hit[0]
+    else:
+        step_fn = jax.jit(step_partial)
 
     denoised = jnp.zeros_like(latent)
     # one table readback for the whole loop (a scalar int() per step is a

@@ -1,0 +1,339 @@
+"""Persistent trace cache: jax.export-serialized programs reloaded across runs.
+
+Why this exists: on this deployment the XLA *compile* is already cached
+(the axon server memoizes compiled programs by HLO across processes), but
+every process still pays client-side **tracing + lowering** of the big
+stage programs — measured at 15+ minutes per gen_pano_360 run (the UNet
+step programs alone; see BENCH_NOTES.md round-4). The reference has no
+analogue (torch eager re-dispatches every call; its "cache" is cuDNN
+autotune — e.g. /root/reference/gen_pano_360.py:88-99 does nothing about
+program build cost). Here a traced+lowered program is serialized with
+:mod:`jax.export` and later runs deserialize the StableHLO directly —
+skipping Python tracing entirely, so a warm run's client cost is MLIR
+parse time (seconds) instead of re-tracing (minutes).
+
+Usage::
+
+    step = cached_jit(_window_step_fn, name="planar_step",
+                      fingerprint=f"{sizes}-{guidance}-{mode}",
+                      donate_argnums=(2, 3))
+    out = step(params, sched, latent, ...)   # behaves like jax.jit(fn)
+
+Cache key = sha256(name, fingerprint, package-source hash, jax version,
+DSCALER_* env vars that alter program structure, arg tree structure, arg
+avals, donation spec). Any source edit invalidates every entry (hash of
+all package ``*.py`` contents), so stale programs can never run.
+
+Both the export path (first run) and the deserialize path (later runs)
+execute through ``jax.jit(exported.call)`` so the HLO handed to the
+backend is byte-identical across runs — the backend's own HLO-keyed
+compile cache then hits on every run after the first.
+
+Controls: ``DSCALER_NO_TRACE_CACHE=1`` disables (plain jax.jit);
+``DSCALER_TRACE_CACHE_DIR`` overrides the location (default
+``~/.cache/dscaler_trace``). Every failure mode (serialization of an
+unsupported construct, a corrupt cache file, an aval mismatch) falls back
+to plain jax.jit with a one-line warning — the cache is a pure
+accelerator, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+import threading
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# env vars that do NOT alter traced program structure
+_ENV_EXCLUDE = {
+    "DSCALER_NO_TRACE_CACHE",
+    "DSCALER_TRACE_CACHE_DIR",
+    "DSCALER_NO_COMPILE_CACHE",
+    "DSCALER_STEP_TIMING",
+}
+
+_code_version_lock = threading.Lock()
+_code_version: Optional[str] = None
+
+
+def _package_source_hash() -> str:
+    import dynamicscaler_tpu
+
+    root = os.path.dirname(os.path.abspath(dynamicscaler_tpu.__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
+def code_version() -> str:
+    """Package-source + jax-version + program-shaping-env fingerprint."""
+    global _code_version
+    with _code_version_lock:
+        if _code_version is None:
+            env = sorted(
+                (k, v)
+                for k, v in os.environ.items()
+                if k.startswith("DSCALER_") and k not in _ENV_EXCLUDE
+            )
+            _code_version = hashlib.sha256(
+                (
+                    _package_source_hash()
+                    + jax.__version__
+                    # exported modules embed the lowering platform — a CPU
+                    # export must never key-collide with a TPU run
+                    + jax.default_backend()
+                    + repr(env)
+                ).encode()
+            ).hexdigest()
+        return _code_version
+
+
+def cache_dir() -> str:
+    return os.environ.get("DSCALER_TRACE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dscaler_trace"
+    )
+
+
+def enabled() -> bool:
+    return not os.environ.get("DSCALER_NO_TRACE_CACHE")
+
+
+def _flat_donate_indices(args, donate_argnums: Sequence[int]) -> Tuple[int, ...]:
+    """Map top-level positional donate_argnums to flat-leaf indices."""
+    donate = set(donate_argnums)
+    out = []
+    pos = 0
+    for i, a in enumerate(args):
+        leaves = jax.tree.leaves(a)
+        if i in donate:
+            out.extend(range(pos, pos + len(leaves)))
+        pos += len(leaves)
+    return tuple(out)
+
+
+_PRUNE_AGE_S = 7 * 86400
+
+
+def _prune_stale(d: str) -> None:
+    """Drop entries not touched in a week — source edits orphan old keys
+    (the hash covers every package .py), so the dir only ever grows."""
+    try:
+        now = __import__("time").time()
+        for fn in os.listdir(d):
+            p = os.path.join(d, fn)
+            try:
+                if now - os.path.getmtime(p) > _PRUNE_AGE_S:
+                    os.unlink(p)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+class _CachedJit:
+    def __init__(
+        self,
+        fn: Callable,
+        name: str,
+        fingerprint: str = "",
+        donate_argnums: Sequence[int] = (),
+        static_argnums: Sequence[int] = (),
+    ):
+        self._fn = fn
+        self._name = name
+        self._fingerprint = fingerprint
+        self._donate = tuple(donate_argnums)
+        self._static = tuple(static_argnums)
+        self._progs: dict = {}
+        self._lock = threading.Lock()
+        # fallback jit (used when the cache is disabled or export fails)
+        self._plain = jax.jit(
+            fn, donate_argnums=self._donate or None, static_argnums=self._static or None
+        )
+
+    # -- key / file helpers ---------------------------------------------------
+
+    def _split_static(self, args):
+        if not self._static:
+            return args, ()
+        dyn, stat = [], []
+        for i, a in enumerate(args):
+            (stat if i in self._static else dyn).append(a)
+        return tuple(dyn), tuple(stat)
+
+    def _sig_key(self, flat, treedef, statics) -> str:
+        avals = tuple((tuple(jnp.shape(l)), str(l.dtype)) for l in flat)
+        raw = "|".join(
+            [
+                self._name,
+                self._fingerprint,
+                code_version(),
+                str(treedef),
+                repr(avals),
+                repr(self._donate),
+                repr(statics),
+            ]
+        )
+        return hashlib.sha256(raw.encode()).hexdigest()
+
+    def _path(self, key: str) -> str:
+        return os.path.join(cache_dir(), f"{self._name}-{key[:24]}.dsprog")
+
+    # -- build paths ----------------------------------------------------------
+
+    def _build_from_file(self, path, flat, treedef, statics):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        try:
+            os.utime(path)  # keep hot entries out of _prune_stale's window
+        except OSError:
+            pass
+        exp = jax.export.deserialize(blob["exported"])
+        out_treedef = pickle.loads(blob["out_treedef"])
+        flat_donate = blob["flat_donate"]
+        jitted = jax.jit(exp.call, donate_argnums=flat_donate or None)
+        return jitted, out_treedef, "loaded"
+
+    def _build_and_save(self, path, flat, treedef, statics, args):
+        fn = self._fn
+        if self._static:
+            static_map = dict(zip(self._static, statics))
+
+            def fn(*dyn_args, _orig=self._fn):
+                full, di = [], 0
+                for i in range(len(dyn_args) + len(static_map)):
+                    if i in static_map:
+                        full.append(static_map[i])
+                    else:
+                        full.append(dyn_args[di])
+                        di += 1
+                return _orig(*full)
+
+        out_box = {}
+
+        def flat_fn(*leaves):
+            a = jax.tree.unflatten(treedef, leaves)
+            out = fn(*a)
+            out_flat, out_treedef = jax.tree.flatten(out)
+            out_box["otd"] = out_treedef
+            return tuple(out_flat)
+
+        checks = [
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+            jax.export.DisabledSafetyCheck.custom_call("Sharding"),
+        ]
+        exp = jax.export.export(jax.jit(flat_fn), disabled_checks=checks)(*flat)
+        flat_donate = _flat_donate_indices(args, self._donate)
+        blob = {
+            "exported": exp.serialize(),
+            "out_treedef": pickle.dumps(out_box["otd"]),
+            "flat_donate": flat_donate,
+        }
+        os.makedirs(cache_dir(), exist_ok=True)
+        _prune_stale(cache_dir())
+        fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(blob, f)
+        os.replace(tmp, path)
+        jitted = jax.jit(exp.call, donate_argnums=flat_donate or None)
+        return jitted, out_box["otd"], "exported"
+
+    # -- call -----------------------------------------------------------------
+
+    def __call__(self, *args):
+        if not enabled():
+            return self._plain(*args)
+        dyn, statics = self._split_static(args)
+        # materialize leaves so exported avals and call-time avals agree
+        # (python scalars would trace weakly-typed in plain jit)
+        flat, treedef = jax.tree.flatten(dyn)
+        flat = [jnp.asarray(l) for l in flat]
+        key = self._sig_key(flat, treedef, statics)
+        entry = self._progs.get(key)
+        if entry is None:
+            with self._lock:
+                entry = self._progs.get(key)
+                if entry is None:
+                    path = self._path(key)
+                    try:
+                        if os.path.exists(path):
+                            entry = self._build_from_file(path, flat, treedef, statics)
+                        else:
+                            entry = self._build_and_save(path, flat, treedef, statics, args)
+                        print(
+                            f"[progcache] {self._name} {entry[2]} ({key[:8]})",
+                            flush=True,
+                        )
+                    except Exception as e:  # fall back to plain jit forever
+                        print(
+                            f"[progcache] {self._name} unavailable, plain jit: {e!r}",
+                            flush=True,
+                        )
+                        entry = (None, None, "failed")
+                    self._progs[key] = entry
+        jitted, out_treedef, src = entry
+        if jitted is None:
+            return self._plain(*args)
+        try:
+            out_flat = jitted(*flat)
+        except Exception as e:
+            if src != "loaded":
+                raise
+            # a disk entry that deserialized but won't run (e.g. stale
+            # mosaic payload after a runtime upgrade the key didn't cover):
+            # rebuild fresh, overwriting the file. Safe to retry — the
+            # failure precedes execution, so donated buffers are intact.
+            print(
+                f"[progcache] {self._name} stale cache entry, re-exporting: {e!r}",
+                flush=True,
+            )
+            with self._lock:
+                entry = self._build_and_save(
+                    self._path(key), flat, treedef, statics, args
+                )
+                self._progs[key] = entry
+            jitted, out_treedef, src = entry
+            out_flat = jitted(*flat)
+        return jax.tree.unflatten(out_treedef, list(out_flat))
+
+
+def obj_fingerprint(*objs: Any) -> str:
+    """Stable short hash of static objects baked into a program (model
+    configs, window sizes, mode strings). Uses ``repr`` — dataclass configs
+    repr their full field set, which is exactly the program-shaping state."""
+    return hashlib.sha256("|".join(repr(o) for o in objs).encode()).hexdigest()[:16]
+
+
+def cached_jit(
+    fn: Callable,
+    *,
+    name: str,
+    fingerprint: str = "",
+    donate_argnums: Sequence[int] = (),
+    static_argnums: Sequence[int] = (),
+) -> Callable:
+    """jax.jit with a persistent trace cache (see module docstring).
+
+    Positional arguments only. ``fingerprint`` must cover everything static
+    the closure bakes into the program that the arg avals don't (window
+    sizes, guidance, overlap mode, mesh layout, microbatch, model config).
+    """
+    return _CachedJit(
+        fn,
+        name=name,
+        fingerprint=fingerprint,
+        donate_argnums=donate_argnums,
+        static_argnums=static_argnums,
+    )

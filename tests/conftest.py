@@ -20,6 +20,15 @@ from dynamicscaler_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".xla_cache"))
 
+# trace cache (utils/progcache.py) OFF for the suite: exporting every tiny
+# jit doubles compile work and its flattened programs miss the persistent
+# .xla_cache, blowing the ~8 min suite past 30 (measured). test_progcache
+# re-enables per-test via monkeypatch; the TPU CLIs run with it on.
+os.environ.setdefault("DSCALER_NO_TRACE_CACHE", "1")
+os.environ.setdefault(
+    "DSCALER_TRACE_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".trace_cache")
+)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,126 @@
+"""Trace-cache (utils/progcache.py) roundtrip tests.
+
+The cache must be a pure accelerator: identical results whether a program
+is exported fresh, loaded from disk, or the cache is disabled — and a
+disk hit must not re-trace the Python function.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import struct
+
+from dynamicscaler_tpu.utils import progcache
+from dynamicscaler_tpu.utils.progcache import cached_jit
+
+
+@struct.dataclass
+class _Sched:
+    a: jax.Array
+    b: jax.Array
+
+
+@pytest.fixture()
+def cachedir(tmp_path, monkeypatch):
+    monkeypatch.setenv("DSCALER_TRACE_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("DSCALER_NO_TRACE_CACHE", raising=False)
+    yield str(tmp_path)
+
+
+def _fn(sched, x, mask, key):
+    noise = jax.random.normal(key, x.shape)
+    y = x * sched.a.sum() + sched.b.mean()
+    if mask is not None:
+        y = jnp.where(mask > 0, y, x)
+    return y + 0.001 * noise, {"m": y.mean()}
+
+
+def _args(with_mask=True):
+    sched = _Sched(a=jnp.arange(4.0), b=jnp.ones((3,)))
+    x = jnp.linspace(0, 1, 64).reshape(8, 8)
+    mask = jnp.tile(jnp.asarray([1.0, 0.0]), (8, 4)) if with_mask else None
+    key = jax.random.PRNGKey(7)
+    return sched, x, mask, key
+
+
+def test_roundtrip_matches_plain_jit(cachedir):
+    f = cached_jit(_fn, name="t1", fingerprint="fp")
+    out = f(*_args())
+    ref = jax.jit(_fn)(*_args())
+    np.testing.assert_allclose(out[0], ref[0], rtol=1e-6)
+    np.testing.assert_allclose(out[1]["m"], ref[1]["m"], rtol=1e-6)
+    assert len(os.listdir(cachedir)) == 1
+
+
+def test_disk_hit_skips_tracing(cachedir):
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x * 2
+
+    f1 = cached_jit(fn, name="t2")
+    x = jnp.ones((4,))
+    r1 = f1(x)
+    assert calls  # traced once
+    calls.clear()
+    f2 = cached_jit(fn, name="t2")  # fresh wrapper, same key -> disk hit
+    r2 = f2(x)
+    assert not calls, "disk hit must not re-trace the Python function"
+    np.testing.assert_allclose(r1, r2)
+
+
+def test_none_args_are_distinct_signatures(cachedir):
+    f = cached_jit(_fn, name="t3")
+    o1 = f(*_args(with_mask=True))
+    o2 = f(*_args(with_mask=False))
+    assert len(os.listdir(cachedir)) == 2
+    assert not np.allclose(o1[0], o2[0])
+
+
+def test_disabled_env_falls_back(cachedir, monkeypatch):
+    monkeypatch.setenv("DSCALER_NO_TRACE_CACHE", "1")
+    f = cached_jit(_fn, name="t4")
+    out = f(*_args())
+    ref = jax.jit(_fn)(*_args())
+    np.testing.assert_allclose(out[0], ref[0], rtol=1e-6)
+    assert len(os.listdir(cachedir)) == 0
+
+
+def test_corrupt_cache_file_falls_back(cachedir):
+    f = cached_jit(_fn, name="t5")
+    f(*_args())
+    (entry,) = os.listdir(cachedir)
+    with open(os.path.join(cachedir, entry), "wb") as fh:
+        fh.write(b"garbage")
+    f2 = cached_jit(_fn, name="t5")
+    out = f2(*_args())
+    ref = jax.jit(_fn)(*_args())
+    np.testing.assert_allclose(out[0], ref[0], rtol=1e-6)
+
+
+def test_static_argnums(cachedir):
+    def fn(x, k):
+        return x * k
+
+    f = cached_jit(fn, name="t6", static_argnums=(1,))
+    np.testing.assert_allclose(f(jnp.ones((3,)), 2.0), 2.0)
+    np.testing.assert_allclose(f(jnp.ones((3,)), 3.0), 3.0)
+    assert len(os.listdir(cachedir)) == 2  # distinct static values
+
+
+def test_env_fingerprint_invalidates(cachedir, monkeypatch):
+    f1 = cached_jit(_fn, name="t7")
+    f1(*_args())
+    n1 = len(os.listdir(cachedir))
+    # a program-shaping env var must change the key
+    monkeypatch.setenv("DSCALER_FUSE_DISABLE", "mega")
+    progcache._code_version = None  # recompute (normally process-constant)
+    f2 = cached_jit(_fn, name="t7")
+    f2(*_args())
+    progcache._code_version = None
+    monkeypatch.delenv("DSCALER_FUSE_DISABLE")
+    assert len(os.listdir(cachedir)) == n1 + 1
