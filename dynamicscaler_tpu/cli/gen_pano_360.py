@@ -187,6 +187,15 @@ def main(vargs: VArgs):
         )
     print(f"[setup] backend: {jax.devices()[0].platform} "
           f"({len(jax.devices())} device(s))", flush=True)
+    # parallel-ingest every cached program for this code version while the
+    # model builds and stage 1 computes its conditioning; stage-1-critical
+    # programs first (progcache module docstring: warm-load economics)
+    from dynamicscaler_tpu.utils import progcache
+
+    progcache.prewarm(
+        priority=("clip_text", "clip_img", "vae_encode", "sphere_step",
+                  "planar_step", "vae_decode"),
+    )
     key = jax.random.PRNGKey(vargs.seed % (2**31))
     model = build_model(vargs)
     print(f"[setup] model built at {time.time() - t_start:.1f}s", flush=True)

@@ -112,6 +112,45 @@ def test_static_argnums(cachedir):
     assert len(os.listdir(cachedir)) == 2  # distinct static values
 
 
+def test_prewarm_populates_registry(cachedir):
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x * 3
+
+    x = jnp.ones((5,))
+    cached_jit(fn, name="t8")(x)  # export + save
+    assert calls
+    calls.clear()
+    # simulate a fresh process: drop the in-memory registry
+    with progcache._REGISTRY_LOCK:
+        progcache._REGISTRY.clear()
+    progcache.prewarm(priority=("t8",), block=True)
+    with progcache._REGISTRY_LOCK:
+        assert any(e[2] == "prewarmed" for e in progcache._REGISTRY.values())
+    out = cached_jit(fn, name="t8")(x)  # must hit the prewarmed entry
+    assert not calls, "prewarmed hit must not re-trace"
+    np.testing.assert_allclose(out, 3.0)
+
+
+def test_prewarm_skips_stale_code_version(cachedir, monkeypatch):
+    def fn(x):
+        return x + 1
+
+    x = jnp.ones((2,))
+    cached_jit(fn, name="t9")(x)
+    with progcache._REGISTRY_LOCK:
+        progcache._REGISTRY.clear()
+    # flip the code version: the on-disk entry must be ignored
+    monkeypatch.setenv("DSCALER_FUSE_DISABLE", "block")
+    progcache._code_version = None
+    progcache.prewarm(block=True)
+    with progcache._REGISTRY_LOCK:
+        assert not progcache._REGISTRY
+    progcache._code_version = None
+
+
 def test_env_fingerprint_invalidates(cachedir, monkeypatch):
     f1 = cached_jit(_fn, name="t7")
     f1(*_args())
