@@ -277,10 +277,21 @@ def main(vargs: VArgs):
     )
 
     # ---- AOT warm: stage-2/3 programs compile while stage 1 computes ------
+    # On a WARM run (step programs already trace-cached for this code
+    # version) the thread cannot save any compile; its conditioning +
+    # warm_only executions only steal single-chip device time from stage 1
+    # (measured: the r4 warm e2e spent ~270s of stage-1 wall on it). The
+    # stage-2/3 conds are then computed inline where they're needed — the
+    # total device work is identical, just serialized without contention.
     warm_thread = None
     run_stage2 = not (vargs.skip_1x or vargs.predenoised_SW_1x_latent_path)
+    run_is_warm = {"sphere_step", "planar_step"} <= progcache.cached_names()
+    if run_is_warm and vargs.aot_warm and not vargs.warm_probe:
+        print("[aot_warm] skipped: step programs already cached (warm run)",
+              flush=True)
     if vargs.warm_probe or (
-        vargs.aot_warm and not vargs.predenoised_SP_latent_path and (
+        vargs.aot_warm and not run_is_warm
+        and not vargs.predenoised_SP_latent_path and (
             run_stage2 or vargs.do_upscale
         )
     ):
@@ -401,7 +412,10 @@ def main(vargs: VArgs):
     pano_1x = load_image(vargs.pano_image_path, eq_h, eq_w)
 
     # ---- STAGE 2: planar 1x (gen_pano_360.py:287-329) ----------------------
+    import threading
+
     basic_latent = None
+    save_1x = None
     t_stage = time.time()
     if not vargs.skip_1x:
         if vargs.predenoised_SW_1x_latent_path:
@@ -434,10 +448,15 @@ def main(vargs: VArgs):
             )
             if vargs.save_latents:
                 save_latent(basic_latent, os.path.join(out_dir, "basic_SW_latent.npy"))
-            save_video(
-                np.asarray(to_uint8_device(video_1x[0])), out_dir,
-                "shift_windows", fps=vargs.fps,
+            # host-side encode/write overlaps stage 3 (readback stays here —
+            # it needs the device; the ~20s of JPEG/PNG work does not)
+            frames_1x = np.asarray(to_uint8_device(video_1x[0]))
+            save_1x = threading.Thread(
+                target=save_video,
+                args=(frames_1x, out_dir, "shift_windows"),
+                kwargs=dict(fps=vargs.fps), name="save-1x",
             )
+            save_1x.start()
         if not vargs.predenoised_SW_1x_latent_path:
             stage_secs["planar_1x"] = time.time() - t_stage
             from dynamicscaler_tpu.pipelines import planar as _planar
@@ -492,6 +511,8 @@ def main(vargs: VArgs):
         stage_steady["upscale"] = _planar.LOOP_STATS.steady_sec_per_step
         print(f"[stage3] done at {time.time() - t_start:.1f}s")
 
+    if save_1x is not None:
+        save_1x.join()
     total = time.time() - t_start
     _write_e2e_artifact(vargs, stage_secs, total, stage_steady)
     print(f"[gen_pano_360] total {total:.1f}s -> {out_dir}")

@@ -58,7 +58,12 @@ def write_mjpeg_avi(
     assert all(f.shape[:2] == (h, w) for f in frames), "inconsistent frame sizes"
     assert frames[0].dtype == np.uint8, frames[0].dtype
 
-    jpegs = [_jpeg(f, quality) for f in frames]
+    # PIL's JPEG encoder releases the GIL; pool the per-frame encodes
+    # (16 full-res 2048x1024 panorama frames encode serially in ~10s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        jpegs = list(pool.map(lambda f: _jpeg(f, quality), frames))
     max_size = max(len(j) for j in jpegs)
 
     avih = _chunk(

@@ -489,6 +489,33 @@ def prewarm(
     return t
 
 
+def cached_names() -> set:
+    """Program names with an on-disk entry for the CURRENT code version —
+    a cheap synchronous probe for 'is this process warm?' decisions
+    (gen_pano_360 skips its AOT-warm thread when the step programs are
+    already cached: on a warm run the thread only steals device time from
+    stage 1, it cannot save compiles)."""
+    out = set()
+    if not enabled():
+        return out
+    try:
+        files = os.listdir(cache_dir())
+    except OSError:
+        return out
+    cv = code_version()
+    for fn in files:
+        if not fn.endswith(".dsprog"):
+            continue
+        try:
+            with open(os.path.join(cache_dir(), fn), "rb") as f:
+                blob = pickle.load(f)
+            if blob.get("format") == 2 and blob.get("code_version") == cv:
+                out.add(blob["name"])
+        except Exception:
+            pass
+    return out
+
+
 def obj_fingerprint(*objs: Any) -> str:
     """Stable short hash of static objects baked into a program (model
     configs, window sizes, mode strings). Uses ``repr`` — dataclass configs
