@@ -177,8 +177,17 @@ def _registry_publish(key: str, entry, ev) -> None:
     ev.set()
 
 
-def _aot_compile(exp, flat_donate):
-    """AOT-compile an exported program; returns the compiled callable."""
+def _aot_compile(exp, flat_donate, example_args=None):
+    """AOT-compile an exported program; returns the compiled callable.
+
+    ``example_args``: concrete call-site arrays, when available. Programs
+    whose avals carry mesh shardings (sharded step programs, multichip
+    dryrun) cannot be AOT-compiled from avals alone — XLA needs a concrete
+    device assignment — so those lower from the concrete args instead.
+    When only avals exist (prewarm / self-ingest) and they are
+    mesh-sharded, degrade to the jitted exported call: the first real call
+    (concrete, sharded args) compiles it then, and the trace-cache benefit
+    (no Python re-trace) is fully kept."""
     # fresh wrapper per compile: keeps each compile an independent dispatch
     # entry (the self-ingest path relies on this to re-hit the persistent
     # cache instead of the in-process jit cache)
@@ -186,7 +195,16 @@ def _aot_compile(exp, flat_donate):
         return _exp_call(*a)
 
     jitted = jax.jit(call, donate_argnums=flat_donate or None)
-    return jitted.lower(*exp.in_avals).compile()
+    try:
+        if example_args is not None:
+            # concrete args carry real shardings + device assignment —
+            # avals under an active mesh context can silently lose the
+            # input specs (compiling a replicated-input program that then
+            # rejects the sharded call)
+            return jitted.lower(*example_args).compile()
+        return jitted.lower(*exp.in_avals).compile()
+    except Exception:
+        return jitted  # lazy: compiles at first concrete call
 
 
 def _self_ingest(name: str, path: str) -> None:
@@ -285,8 +303,8 @@ class _CachedJit:
             pass
         exp = jax.export.deserialize(blob["exported"])
         out_treedef = pickle.loads(blob["out_treedef"])
-        compiled = _aot_compile(exp, blob["flat_donate"])
-        return compiled, out_treedef, "loaded"
+        compiled = _aot_compile(exp, blob["flat_donate"], example_args=flat)
+        return compiled, out_treedef, "loaded", exp, blob["flat_donate"]
 
     def _build_and_save(self, path, flat, treedef, statics, args, key=""):
         fn = self._fn
@@ -316,7 +334,17 @@ class _CachedJit:
             jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
             jax.export.DisabledSafetyCheck.custom_call("Sharding"),
         ]
-        exp = jax.export.export(jax.jit(flat_fn), disabled_checks=checks)(*flat)
+        # platforms= must be explicit: programs traced while a mesh context
+        # is active (sharded step programs, dryrun_multichip) otherwise fail
+        # with "lowering_platforms ... required when only AbstractMesh
+        # exists" and silently fall back to plain jit — exactly the runs the
+        # trace cache matters for. code_version() already keys on
+        # jax.default_backend(), so cross-platform entries cannot collide.
+        exp = jax.export.export(
+            jax.jit(flat_fn),
+            platforms=[jax.default_backend()],
+            disabled_checks=checks,
+        )(*flat)
         flat_donate = _flat_donate_indices(args, self._donate)
         blob = {
             "format": 2,
@@ -333,7 +361,7 @@ class _CachedJit:
         with os.fdopen(fd, "wb") as f:
             pickle.dump(blob, f)
         os.replace(tmp, path)
-        compiled = _aot_compile(exp, flat_donate)
+        compiled = _aot_compile(exp, flat_donate, example_args=flat)
         # the compile above wrote the persistent-cache entry; re-ingest it in
         # the background so the NEXT process's load takes the hot path
         if _want_self_ingest():
@@ -341,7 +369,7 @@ class _CachedJit:
                 target=_self_ingest, args=(self._name, path),
                 daemon=True, name=f"ingest-{self._name}",
             ).start()
-        return compiled, out_box["otd"], "exported"
+        return compiled, out_box["otd"], "exported", exp, flat_donate
 
     # -- call -----------------------------------------------------------------
 
@@ -366,7 +394,7 @@ class _CachedJit:
                     f"[progcache] {self._name} unavailable, plain jit: {e!r}",
                     flush=True,
                 )
-                return (None, None, "failed")
+                return (None, None, "failed", None, ())
         print(f"[progcache] {self._name} {entry[2]} ({key[:8]})", flush=True)
         return entry
 
@@ -388,12 +416,22 @@ class _CachedJit:
                 _registry_publish(key, entry, ev)
                 break
             ev.wait()  # prewarm or another call site is building this key
-        compiled, out_treedef, src = entry
+        compiled, out_treedef, src, exp, flat_donate = entry
         if compiled is None:
             return self._plain(*args)
         try:
             out_flat = compiled(*flat)
         except Exception as e:
+            if exp is not None and "compiled for input shardings" in str(e):
+                # a prewarm/self-ingest compile (avals only) baked shardings
+                # that disagree with this call site's — recompile from the
+                # concrete args; the registry keeps the call-site version
+                compiled = _aot_compile(exp, flat_donate, example_args=flat)
+                entry = (compiled, out_treedef, src, exp, flat_donate)
+                with _REGISTRY_LOCK:
+                    _REGISTRY[key] = entry
+                out_flat = compiled(*flat)
+                return jax.tree.unflatten(out_treedef, list(out_flat))
             if src != "loaded":
                 raise
             # a disk entry that deserialized but won't run (e.g. stale
@@ -409,7 +447,7 @@ class _CachedJit:
             )
             with _REGISTRY_LOCK:
                 _REGISTRY[key] = entry
-            compiled, out_treedef, src = entry
+            compiled, out_treedef, src, exp, flat_donate = entry
             out_flat = compiled(*flat)
         return jax.tree.unflatten(out_treedef, list(out_flat))
 
@@ -463,7 +501,8 @@ def prewarm(
                 exp = jax.export.deserialize(blob["exported"])
                 out_treedef = pickle.loads(blob["out_treedef"])
                 compiled = _aot_compile(exp, blob["flat_donate"])
-                entry = (compiled, out_treedef, "prewarmed")
+                entry = (compiled, out_treedef, "prewarmed", exp,
+                         blob["flat_donate"])
                 print(f"[progcache] {blob['name']} prewarmed ({key[:8]})",
                       flush=True)
                 os.utime(path)

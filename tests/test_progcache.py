@@ -163,3 +163,50 @@ def test_env_fingerprint_invalidates(cachedir, monkeypatch):
     progcache._code_version = None
     monkeypatch.delenv("DSCALER_FUSE_DISABLE")
     assert len(os.listdir(cachedir)) == n1 + 1
+
+
+def test_mesh_sharded_roundtrip(cachedir):
+    """cached_jit must export/load/run programs whose inputs are sharded
+    over a device mesh — the sharded step programs and dryrun_multichip
+    path. Regression: jax.export without explicit platforms= raised
+    'lowering_platforms ... required when only AbstractMesh exists' and
+    silently fell back to plain jit (MULTICHIP_r04 tail)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x = jax.device_put(
+        jnp.arange(32.0).reshape(8, 4), NamedSharding(mesh, P("data", None))
+    )
+
+    def fn(a):
+        return (a * 2).sum()
+
+    f = cached_jit(fn, name="tmesh")
+    out1 = float(f(x))
+    assert out1 == float(jax.jit(fn)(x))
+    assert len(os.listdir(cachedir)) == 1  # exported, not plain-jit fallback
+
+    # under an active mesh context too (how dryrun_multichip traces), and
+    # through the disk-load path (fresh registry)
+    with _fresh_registry():
+        with jax.sharding.set_mesh(mesh):
+            f2 = cached_jit(fn, name="tmesh")
+            assert float(f2(x)) == out1
+    assert len(os.listdir(cachedir)) == 1  # same key: loaded, no re-export
+
+
+def _fresh_registry():
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        with progcache._REGISTRY_LOCK:
+            saved = dict(progcache._REGISTRY)
+            progcache._REGISTRY.clear()
+        try:
+            yield
+        finally:
+            with progcache._REGISTRY_LOCK:
+                progcache._REGISTRY.update(saved)
+
+    return cm()
