@@ -58,10 +58,13 @@ def load_speed_of_light(achieved_gflops, sec_per_tile=None, fwd_sec_per_tile=Non
     of single-view UNet speed-of-light).
 
     Primary ratio: per-tile time of the full tile-denoise step (CFG-packed
-    UNet + DDIM + readback) vs the bare single-view UNet forwards it
-    contains (2x CFG), measured in THIS run on this chip — i.e. how close
-    the tiled step comes to "just running the UNet". Structurally <=100%;
-    the gap is scheduler + dispatch + readback overhead.
+    UNet + DDIM + readback) vs the bare UNet forwards it contains, where
+    the bare-forward program has the SAME structure as the step's UNet
+    portion (same lax.map over 2 CFG microbatches, ONE scalar checksum
+    readback per call) minus the CFG combine + DDIM + output cast. The step
+    is a strict superset of the denominator program, so the ratio is <=100%
+    by construction (round-4 verdict: a per-call-readback denominator made
+    it >100% and tautological). The gap is CFG/DDIM/cast overhead.
 
     Secondary: achieved GFLOP/s vs the measured convs-only UNet rate
     (dev/ablate_unet.py). That ceiling is conservative — attention/FF
@@ -74,8 +77,10 @@ def load_speed_of_light(achieved_gflops, sec_per_tile=None, fwd_sec_per_tile=Non
         out.update({
             "pct_of_sol": round(pct, 4),
             "pass_80pct": bool(pct >= 0.80),
-            "sol_def": "bare 2x-CFG UNet fwd time per tile / achieved step "
-                       "time per tile (same run, same chip)",
+            "sol_def": "bare UNet-forwards program (identical lax.map "
+                       "microbatch structure + single checksum readback, "
+                       "a strict subset of the step program) time per tile "
+                       "/ achieved step time per tile (same run, same chip)",
             "bare_unet_ms_per_tile": round(fwd_sec_per_tile * 1e3, 2),
             "achieved_ms_per_tile": round(sec_per_tile * 1e3, 2),
         })
@@ -180,18 +185,28 @@ def main():
     sec_per_step = elapsed / TIMED_ITERS
     tiles_per_sec = WINDOWS / sec_per_step
 
-    # bare single-view UNet forward at the same microbatch — the north-star
-    # denominator (one fwd covers MICROBATCH tiles' one CFG branch, so the
-    # plain per-tile cost is 2*fwd/MICROBATCH)
-    jfwd = jax.jit(lambda p, x, c: unet.apply(p, x, t, c, 16).sum())
-    xs1, cs1 = lat[:MICROBATCH], ctx[:MICROBATCH]
-    float(jfwd(params, xs1, cs1))
-    float(jfwd(params, xs1, cs1))
+    # speed-of-light denominator: the step's UNet portion EXACTLY (same
+    # lax.map over the 2 CFG microbatches, one scalar checksum readback),
+    # minus CFG combine + DDIM + cast — a strict subset of the step program
+    # so pct_of_sol <= 100% structurally. One call covers all WINDOWS tiles'
+    # 2x-CFG forwards, amortizing dispatch+readback identically to the step.
+    def bare_fwds(params, lat, ctx):
+        x2 = jnp.concatenate([lat, lat], axis=0)
+        xs = x2.reshape(-1, MICROBATCH, *x2.shape[1:])
+        cs = ctx.reshape(-1, MICROBATCH, *ctx.shape[1:])
+        eps = jax.lax.map(
+            lambda ab: unet.apply(params, ab[0], t, ab[1], 16), (xs, cs)
+        )
+        return eps.astype(jnp.float32).sum()
+
+    jfwd = jax.jit(bare_fwds)
+    float(jfwd(params, lat, ctx))
+    float(jfwd(params, lat, ctx))
     fstart = time.perf_counter()
     for _ in range(TIMED_ITERS):
-        float(jfwd(params, xs1, cs1))
+        float(jfwd(params, lat, ctx))
     fwd_sec = (time.perf_counter() - fstart) / TIMED_ITERS
-    fwd_sec_per_tile = 2.0 * fwd_sec / MICROBATCH
+    fwd_sec_per_tile = fwd_sec / WINDOWS
     have_flops = flops_per_call == flops_per_call
     mfu = (flops_per_call / sec_per_step) / V5E_PEAK_BF16_FLOPS if have_flops else None
 

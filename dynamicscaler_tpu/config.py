@@ -86,6 +86,7 @@ class CLIPVisionConfig:
     layers: int = 32
     heads: int = 16
     output_tokens: int = 257  # CLS + 16x16 patches
+    output_dim: int = 1024  # projection dim for the POOLED embedders only
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,6 +76,10 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    # OpenAI-CLIP checkpoints (ClipImageEmbedder, condition.py:136-171) use
+    # QuickGELU; LAION OpenCLIP ViT-H uses exact GELU. Activation only — the
+    # param tree is identical either way.
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -83,7 +87,7 @@ class ResidualAttentionBlock(nn.Module):
         x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(ln("ln_1")(x), mask)
         h = ln("ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = h * jax.nn.sigmoid(1.702 * h) if self.quick_gelu else nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -126,6 +130,7 @@ class CLIPVisionEncoder(nn.Module):
 
     cfg: CLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +159,82 @@ class CLIPVisionEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(cfg.layers):
             x = ResidualAttentionBlock(
-                cfg.width, cfg.heads, dtype=self.dtype, name=f"resblock{i}"
+                cfg.width, cfg.heads, dtype=self.dtype,
+                quick_gelu=self.quick_gelu, name=f"resblock{i}"
             )(x)
         return x
+
+
+class CLIPVisionPooled(nn.Module):
+    """Pooled + projected CLIP image embedding: CLS token -> ``ln_post`` ->
+    ``@ proj`` -> [B, output_dim].
+
+    One module covers both pooled image embedders in the reference:
+
+    * ``FrozenOpenCLIPImageEmbedder`` (condition.py:238-295): open_clip
+      ``model.visual(img)`` — the ViT tower with CLS ("global") pooling,
+      exact-GELU MLPs (LAION ViT-H).
+    * ``ClipImageEmbedder`` (condition.py:136-171): OpenAI clip
+      ``model.encode_image`` — the same computation with QuickGELU MLPs
+      (``quick_gelu=True``).
+
+    Both torch state dicts share the ``visual.*`` naming (conv1,
+    class_embedding, transformer.resblocks, ln_post, proj) — converted by
+    ``utils/weights.convert_clip_vision_pooled``.
+    """
+
+    cfg: CLIPVisionConfig
+    dtype: jnp.dtype = jnp.float32
+    quick_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = CLIPVisionEncoder(
+            cfg, dtype=self.dtype, quick_gelu=self.quick_gelu, name="tower"
+        )(images)
+        cls = x[:, 0]
+        cls = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(cls)
+        proj = self.param(
+            "proj", nn.initializers.normal(cfg.width**-0.5), (cfg.width, cfg.output_dim)
+        )
+        return cls @ proj.astype(self.dtype)
+
+
+def ucg_dropout(z: jnp.ndarray, key, ucg_rate: float, no_dropout: bool = False):
+    """Unconditional-guidance embedding dropout (condition.py:169-170,
+    :284-285): with prob ``ucg_rate`` a batch row's embedding is zeroed.
+    Keyed bernoulli instead of torch's global RNG; ``key=None`` or
+    ``no_dropout`` is the reference's ``no_dropout=True`` path."""
+    if ucg_rate <= 0.0 or no_dropout or key is None:
+        return z
+    keep = jax.random.bernoulli(key, 1.0 - ucg_rate, (z.shape[0],))
+    return z * keep[:, None].astype(z.dtype)
+
+
+class OpenCLIPImageEmbedderPooled:
+    """``FrozenOpenCLIPImageEmbedder`` equivalent (condition.py:238-295):
+    kornia-style preprocess -> pooled visual tower -> ucg dropout. Input is
+    [-1, 1] NHWC (torch order only at the converter boundary)."""
+
+    def __init__(self, cfg: CLIPVisionConfig, ucg_rate: float = 0.0,
+                 dtype=jnp.float32, quick_gelu: bool = False):
+        self.model = CLIPVisionPooled(cfg, dtype=dtype, quick_gelu=quick_gelu)
+        self.cfg = cfg
+        self.ucg_rate = ucg_rate
+
+    def init(self, key, images):
+        return self.model.init(key, clip_preprocess(images, self.cfg.image_size))
+
+    def __call__(self, params, images, key=None, no_dropout: bool = False):
+        z = self.model.apply(params, clip_preprocess(images, self.cfg.image_size))
+        return ucg_dropout(z, key, self.ucg_rate, no_dropout)
+
+
+class ClipImageEmbedder(OpenCLIPImageEmbedderPooled):
+    """``ClipImageEmbedder`` equivalent (condition.py:136-171): OpenAI-CLIP
+    ``encode_image`` (QuickGELU tower) with the same preprocess + ucg
+    dropout as the pooled OpenCLIP embedder."""
+
+    def __init__(self, cfg: CLIPVisionConfig, ucg_rate: float = 0.0, dtype=jnp.float32):
+        super().__init__(cfg, ucg_rate=ucg_rate, dtype=dtype, quick_gelu=True)

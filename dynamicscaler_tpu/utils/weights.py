@@ -310,6 +310,19 @@ def convert_clip_vision(sd: Dict[str, Any], cfg: CLIPVisionConfig) -> Dict[str, 
     return {"params": p}
 
 
+def convert_clip_vision_pooled(sd: Dict[str, Any], cfg: CLIPVisionConfig) -> Dict[str, Any]:
+    """``visual.*``-stripped pooled CLIP vision tower (OpenAI clip
+    ``encode_image`` / open_clip ``model.visual`` — both use this naming:
+    conv1/class_embedding/positional_embedding/ln_pre/transformer.resblocks/
+    ln_post/proj). Feeds models/clip.CLIPVisionPooled
+    (condition.py:136-171, :238-295)."""
+    return {"params": {
+        "tower": convert_clip_vision(sd, cfg)["params"],
+        "ln_post": norm(sd, "ln_post"),
+        "proj": _np(sd["proj"]),
+    }}
+
+
 def convert_resampler(sd: Dict[str, Any], cfg: ResamplerConfig) -> Dict[str, Any]:
     """``image_proj_model.*``-stripped Resampler (ip_resampler.py:93-135)."""
     p: Dict[str, Any] = {

@@ -20,7 +20,7 @@ torch.manual_seed(1)
 
 
 class TorchBlock(torch.nn.Module):
-    def __init__(self, width, heads):
+    def __init__(self, width, heads, quick_gelu=False):
         super().__init__()
         self.ln_1 = torch.nn.LayerNorm(width)
         self.attn = torch.nn.MultiheadAttention(width, heads, batch_first=True)
@@ -28,14 +28,15 @@ class TorchBlock(torch.nn.Module):
         self.mlp = torch.nn.ModuleDict(
             {"c_fc": torch.nn.Linear(width, 4 * width), "c_proj": torch.nn.Linear(4 * width, width)}
         )
+        self.quick_gelu = quick_gelu
 
     def forward(self, x, attn_mask=None):
         h = self.ln_1(x)
         a, _ = self.attn(h, h, h, attn_mask=attn_mask, need_weights=False)
         x = x + a
-        h = self.ln_2(x)
-        h = self.mlp["c_proj"](torch.nn.functional.gelu(self.mlp["c_fc"](h)))
-        return x + h
+        h = self.mlp["c_fc"](self.ln_2(x))
+        h = h * torch.sigmoid(1.702 * h) if self.quick_gelu else torch.nn.functional.gelu(h)
+        return x + self.mlp["c_proj"](h)
 
 
 def _block_sd(prefix, blk):
@@ -115,3 +116,89 @@ def test_vision_tower_parity_full_tokens():
 
     got = CLIPVisionEncoder(cfg).apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quick_gelu", [False, True])
+def test_vision_pooled_parity(quick_gelu):
+    """Pooled CLS -> ln_post -> @proj path shared by ClipImageEmbedder
+    (condition.py:136-171, QuickGELU) and the pooled
+    FrozenOpenCLIPImageEmbedder (:238-295, exact GELU)."""
+    from dynamicscaler_tpu.models.clip import CLIPVisionPooled
+
+    width, layers, heads, img, patch, out_dim = 32, 2, 4, 32, 16, 24
+    grid = img // patch
+    conv1 = torch.nn.Conv2d(3, width, patch, stride=patch, bias=False).eval()
+    cls = torch.randn(width) * 0.02
+    pos = torch.randn(grid * grid + 1, width) * 0.01
+    ln_pre = torch.nn.LayerNorm(width).eval()
+    ln_post = torch.nn.LayerNorm(width).eval()
+    with torch.no_grad():
+        ln_post.weight.mul_(0).add_(torch.randn(width))
+        ln_post.bias.add_(torch.randn(width) * 0.1)
+    proj = torch.randn(width, out_dim) * width**-0.5
+    blocks = [TorchBlock(width, heads, quick_gelu=quick_gelu).eval() for _ in range(layers)]
+
+    sd = {"conv1.weight": conv1.weight, "class_embedding": cls,
+          "positional_embedding": pos, "ln_pre.weight": ln_pre.weight,
+          "ln_pre.bias": ln_pre.bias, "ln_post.weight": ln_post.weight,
+          "ln_post.bias": ln_post.bias, "proj": proj}
+    for i, b in enumerate(blocks):
+        sd.update(_block_sd(f"transformer.resblocks.{i}", b))
+
+    cfg = CLIPVisionConfig(image_size=img, patch_size=patch, width=width,
+                           layers=layers, heads=heads,
+                           output_tokens=grid * grid + 1, output_dim=out_dim)
+    params = W.convert_clip_vision_pooled(sd, cfg)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        h = conv1(torch.from_numpy(x)).reshape(2, width, -1).permute(0, 2, 1)
+        h = torch.cat([cls.expand(2, 1, width), h], dim=1) + pos
+        h = ln_pre(h)
+        for b in blocks:
+            h = b(h)
+        ref = (ln_post(h[:, 0]) @ proj).numpy()
+
+    got = CLIPVisionPooled(cfg, quick_gelu=quick_gelu).apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert got.shape == (2, out_dim)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_ucg_dropout_semantics():
+    """condition.py:169-170/:284-285 bernoulli row dropout: no_dropout /
+    key=None / rate=0 are identity; rate=1 zeros everything; a keyed mask
+    zeros whole rows only."""
+    import jax
+    from dynamicscaler_tpu.models.clip import ucg_dropout
+
+    z = jnp.asarray(np.random.default_rng(3).standard_normal((8, 5)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_array_equal(ucg_dropout(z, key, 0.5, no_dropout=True), z)
+    np.testing.assert_array_equal(ucg_dropout(z, None, 0.5), z)
+    np.testing.assert_array_equal(ucg_dropout(z, key, 0.0), z)
+    np.testing.assert_array_equal(ucg_dropout(z, key, 1.0), np.zeros_like(z))
+    out = np.asarray(ucg_dropout(z, key, 0.5))
+    row_zero = (out == 0).all(axis=1)
+    row_kept = (out == np.asarray(z)).all(axis=1)
+    assert (row_zero | row_kept).all()
+
+
+def test_pooled_embedder_wrappers():
+    """OpenCLIPImageEmbedderPooled / ClipImageEmbedder end-to-end: [-1,1]
+    NHWC input through preprocess + tower + dropout."""
+    import jax
+    from dynamicscaler_tpu.models.clip import ClipImageEmbedder, OpenCLIPImageEmbedderPooled
+
+    cfg = CLIPVisionConfig(image_size=32, patch_size=16, width=32, layers=1,
+                           heads=4, output_tokens=5, output_dim=12)
+    img = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (2, 48, 40, 3)).astype(np.float32))
+    for cls_ in (OpenCLIPImageEmbedderPooled, ClipImageEmbedder):
+        emb = cls_(cfg, ucg_rate=1.0)
+        params = emb.init(jax.random.PRNGKey(0), img)
+        z = emb(params, img)  # no key -> no dropout
+        assert z.shape == (2, 12) and np.abs(np.asarray(z)).sum() > 0
+        zd = emb(params, img, key=jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(zd), np.zeros((2, 12), np.float32))
