@@ -25,6 +25,7 @@ interpret mode on CPU (tests/test_fused_spatial.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,12 +53,18 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
         return False
     if not (_mode() == "interpret" or fused_temporal._tpu_available()):
         return False
+    # DSCALER_SPATIAL_WIDE=1 extends the gate to the (N=160, C=1280) mid/L3
+    # site for measurement (r3 full-sub-block attempt lost at x0.94; the
+    # kernel has since gained normalize-after-PV + retuned row tiles —
+    # re-measure via `dev/bench_block.py xfmr` before flipping the default).
+    wide = os.environ.get("DSCALER_SPATIAL_WIDE", "0") == "1"
+    min_n, max_c = (128, 1280) if wide else (256, 640)
     return (
-        256 <= n_tokens <= 4096
+        min_n <= n_tokens <= 4096
         and n_tokens % 16 == 0
         and inner == query_dim
         and inner % heads == 0
-        and inner <= 640
+        and inner <= max_c
         and (inner // heads) % 8 == 0
     )
 

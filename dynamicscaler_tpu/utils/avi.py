@@ -135,6 +135,43 @@ def write_mjpeg_avi(
     return path
 
 
+def read_mjpeg_avi(path: str):
+    """Decode an MJPEG AVI into (frames ``[F, H, W, 3]`` uint8, fps).
+
+    The read half of :func:`write_mjpeg_avi` — a proper RIFF chunk walk
+    (not tied to this writer's exact layout) collecting ``..dc``/``..db``
+    stream chunks and decoding each JPEG with PIL. Gives this environment
+    a real video-DECODE path with zero native dependencies (the imageio
+    route needs ffmpeg/pyav, absent here)."""
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI ", "not an AVI"
+    (riff_size,) = struct.unpack("<I", data[4:8])
+
+    jpegs = []
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = pos + 8
+            if fourcc == b"LIST":
+                walk(payload + 4, payload + size)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                jpegs.append(data[payload : payload + size])
+            pos = payload + size + (size & 1)
+
+    walk(12, 8 + riff_size)
+    assert jpegs, "no video stream chunks found"
+    frames = np.stack(
+        [np.asarray(Image.open(io.BytesIO(j)).convert("RGB")) for j in jpegs]
+    )
+    info = read_avi_info(path)
+    return frames, info["fps"]
+
+
 def read_avi_info(path: str) -> dict:
     """Minimal RIFF walk for tests/inspection: frame count, size, fps."""
     with open(path, "rb") as f:

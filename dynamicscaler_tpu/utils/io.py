@@ -33,6 +33,17 @@ def load_first_frame(path: str, height: int, width: int) -> np.ndarray:
     error names the missing plugin when none is installed."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".mp4", ".avi", ".mov", ".webm", ".mkv"):
+        if ext == ".avi":
+            try:  # native MJPEG-AVI decode, no ffmpeg needed
+                from dynamicscaler_tpu.utils.avi import read_mjpeg_avi
+
+                frame = read_mjpeg_avi(path)[0][0]
+                img = Image.fromarray(frame).convert("RGB").resize(
+                    (width, height), Image.BILINEAR
+                )
+                return (np.asarray(img, np.float32) / 255.0 - 0.5) * 2
+            except Exception:
+                pass  # not MJPEG: fall through to imageio
         try:
             import imageio.v3 as iio
 
@@ -47,6 +58,68 @@ def load_first_frame(path: str, height: int, width: int) -> np.ndarray:
         )
         return (np.asarray(img, np.float32) / 255.0 - 0.5) * 2
     return load_image(path, height, width)
+
+
+def _read_video_frames(path: str):
+    """All frames of a video file as (uint8 [T, H, W, 3], fps). MJPEG AVIs
+    decode natively (utils/avi.read_mjpeg_avi — no ffmpeg needed); other
+    containers go through imageio and need an ffmpeg/pyav backend."""
+    if os.path.splitext(path)[1].lower() == ".avi":
+        try:
+            from dynamicscaler_tpu.utils.avi import read_mjpeg_avi
+
+            return read_mjpeg_avi(path)
+        except Exception:
+            pass  # not MJPEG / truncated: fall through to imageio
+    try:
+        import imageio.v3 as iio
+
+        frames = np.asarray(iio.imread(path))
+        fps = float(iio.immeta(path).get("fps", 8))
+    except Exception as e:
+        raise RuntimeError(
+            f"reading video {path!r} requires an imageio video backend "
+            f"(ffmpeg or pyav), unavailable here: {e}"
+        ) from e
+    return frames, fps
+
+
+def load_video_batch(filepath_list, frame_stride: int, video_size=(256, 256),
+                     video_frames: int = 16):
+    """Multi-frame video loading with ``frame_stride`` — the reference's
+    ``load_video_batch`` (scripts/evaluation/funcs.py:118-155, decord):
+    every ``frame_stride``-th frame, ``video_frames=-1`` takes ALL frames
+    (forcing fs=1), too-short videos repeat-pad the last frame. Returns
+    ``(batch [B, F, H, W, 3] float32 in [-1, 1], fps_list)`` — frames on
+    axis 1 (this repo's layout; the reference permutes to [B,C,T,H,W]),
+    and the per-video ``int(fps / frame_stride)`` list the reference
+    computes but drops (:152-153)."""
+    assert frame_stride > 0, "valid frame stride should be a positive integer"
+    batch, fps_list = [], []
+    for path in filepath_list:
+        frames, fps = _read_video_frames(path)
+        total = frames.shape[0]
+        fs = frame_stride
+        if video_frames < 0:
+            required, fs = total, 1
+        else:
+            required = video_frames
+        max_valid = (total - 1) // fs + 1
+        take = min(required, max_valid)
+        idx = [fs * i for i in range(take)]
+        sel = frames[idx]
+        h, w = video_size
+        if sel.shape[1:3] != (h, w):
+            sel = np.stack(
+                [np.asarray(Image.fromarray(f).resize((w, h), Image.BILINEAR)) for f in sel]
+            )
+        clip = (sel.astype(np.float32) / 255.0 - 0.5) * 2
+        if take < required:  # repeat-pad the last frame (funcs.py:146-149)
+            pad = np.repeat(clip[-1:], required - take, axis=0)
+            clip = np.concatenate([clip, pad], axis=0)
+        batch.append(clip)
+        fps_list.append(int(fps / fs))
+    return np.stack(batch), fps_list
 
 
 def to_uint8_frames(video: np.ndarray) -> np.ndarray:

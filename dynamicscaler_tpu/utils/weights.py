@@ -225,42 +225,182 @@ def _convert_vae_attn(sd, p):
     }
 
 
-def convert_vae(sd: Dict[str, Any], cfg: VAEConfig) -> Dict[str, Any]:
-    """``first_stage_model.*``-stripped state_dict -> AutoencoderKL params."""
-    enc: Dict[str, Any] = {"conv_in": conv2d(sd, "encoder.conv_in")}
+def _convert_encoder(sd, cfg: VAEConfig, pre: str = "encoder") -> Dict[str, Any]:
+    enc: Dict[str, Any] = {"conv_in": conv2d(sd, f"{pre}.conv_in")}
     for i in range(len(cfg.ch_mult)):
         for b in range(cfg.num_res_blocks):
-            enc[f"down{i}_block{b}"] = _convert_resnet(sd, f"encoder.down.{i}.block.{b}")
+            enc[f"down{i}_block{b}"] = _convert_resnet(sd, f"{pre}.down.{i}.block.{b}")
         if i != len(cfg.ch_mult) - 1:
             enc[f"down{i}_downsample"] = {
-                "conv": conv2d(sd, f"encoder.down.{i}.downsample.conv")
+                "conv": conv2d(sd, f"{pre}.down.{i}.downsample.conv")
             }
-    enc["mid_block_1"] = _convert_resnet(sd, "encoder.mid.block_1")
-    enc["mid_attn_1"] = _convert_vae_attn(sd, "encoder.mid.attn_1")
-    enc["mid_block_2"] = _convert_resnet(sd, "encoder.mid.block_2")
-    enc["norm_out"] = norm(sd, "encoder.norm_out")
-    enc["conv_out"] = conv2d(sd, "encoder.conv_out")
+    enc["mid_block_1"] = _convert_resnet(sd, f"{pre}.mid.block_1")
+    enc["mid_attn_1"] = _convert_vae_attn(sd, f"{pre}.mid.attn_1")
+    enc["mid_block_2"] = _convert_resnet(sd, f"{pre}.mid.block_2")
+    enc["norm_out"] = norm(sd, f"{pre}.norm_out")
+    enc["conv_out"] = conv2d(sd, f"{pre}.conv_out")
+    return enc
 
-    dec: Dict[str, Any] = {"conv_in": conv2d(sd, "decoder.conv_in")}
-    dec["mid_block_1"] = _convert_resnet(sd, "decoder.mid.block_1")
-    dec["mid_attn_1"] = _convert_vae_attn(sd, "decoder.mid.attn_1")
-    dec["mid_block_2"] = _convert_resnet(sd, "decoder.mid.block_2")
+
+def _convert_decoder(sd, cfg: VAEConfig, pre: str = "decoder") -> Dict[str, Any]:
+    dec: Dict[str, Any] = {"conv_in": conv2d(sd, f"{pre}.conv_in")}
+    dec["mid_block_1"] = _convert_resnet(sd, f"{pre}.mid.block_1")
+    dec["mid_attn_1"] = _convert_vae_attn(sd, f"{pre}.mid.attn_1")
+    dec["mid_block_2"] = _convert_resnet(sd, f"{pre}.mid.block_2")
     for i in range(len(cfg.ch_mult)):
         for b in range(cfg.num_res_blocks + 1):
-            dec[f"up{i}_block{b}"] = _convert_resnet(sd, f"decoder.up.{i}.block.{b}")
+            dec[f"up{i}_block{b}"] = _convert_resnet(sd, f"{pre}.up.{i}.block.{b}")
         if i != 0:
-            dec[f"up{i}_upsample"] = {"conv": conv2d(sd, f"decoder.up.{i}.upsample.conv")}
-    dec["norm_out"] = norm(sd, "decoder.norm_out")
-    dec["conv_out"] = conv2d(sd, "decoder.conv_out")
+            dec[f"up{i}_upsample"] = {"conv": conv2d(sd, f"{pre}.up.{i}.upsample.conv")}
+    dec["norm_out"] = norm(sd, f"{pre}.norm_out")
+    dec["conv_out"] = conv2d(sd, f"{pre}.conv_out")
+    return dec
 
+
+def convert_vae(sd: Dict[str, Any], cfg: VAEConfig) -> Dict[str, Any]:
+    """``first_stage_model.*``-stripped state_dict -> AutoencoderKL params."""
     return {
         "params": {
-            "encoder": enc,
-            "decoder": dec,
+            "encoder": _convert_encoder(sd, cfg),
+            "decoder": _convert_decoder(sd, cfg),
             "quant_conv": conv2d(sd, "quant_conv"),
             "post_quant_conv": conv2d(sd, "post_quant_conv"),
         }
     }
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary ae_modules classes (models/vae_aux.py — dead code upstream)
+# ---------------------------------------------------------------------------
+
+
+def _convert_resnet_t(sd, p, temb: bool):
+    """ResnetBlock with the temb projection (ae_modules.py:167-169). When
+    ``temb`` is False the torch ``temb_proj`` weights (created whenever
+    temb_channels>0, even if forward never uses them) are DROPPED — the
+    Flax module only materializes the param when a temb is passed."""
+    out = _convert_resnet(sd, p)
+    if temb and p + ".temb_proj.weight" in sd:
+        out["temb_proj"] = lin(sd, p + ".temb_proj")
+    return out
+
+
+def _convert_lin_attn(sd, p):
+    return {"to_qkv": conv2d_nb(sd, p + ".to_qkv"), "to_out": conv2d(sd, p + ".to_out")}
+
+
+def convert_aux_model(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """ae_modules.py:212-361 ``Model`` -> models/vae_aux.Model params.
+    ``cfg`` is an AuxModelConfig."""
+    p: Dict[str, Any] = {}
+    if cfg.use_timestep:
+        p["temb_dense0"] = lin(sd, "temb.dense.0")
+        p["temb_dense1"] = lin(sd, "temb.dense.1")
+    p["conv_in"] = conv2d(sd, "conv_in")
+    attn_conv = _convert_lin_attn if cfg.attn_type == "linear" else _convert_vae_attn
+    n = len(cfg.ch_mult)
+    curr_res = cfg.resolution
+    for i in range(n):
+        for b in range(cfg.num_res_blocks):
+            p[f"down{i}_block{b}"] = _convert_resnet_t(sd, f"down.{i}.block.{b}", cfg.use_timestep)
+            if curr_res in cfg.attn_resolutions:
+                p[f"down{i}_attn{b}"] = attn_conv(sd, f"down.{i}.attn.{b}")
+        if i != n - 1:
+            p[f"down{i}_downsample"] = {"conv": conv2d(sd, f"down.{i}.downsample.conv")}
+            curr_res //= 2
+    p["mid_block_1"] = _convert_resnet_t(sd, "mid.block_1", cfg.use_timestep)
+    p["mid_attn_1"] = attn_conv(sd, "mid.attn_1")
+    p["mid_block_2"] = _convert_resnet_t(sd, "mid.block_2", cfg.use_timestep)
+    for i in reversed(range(n)):
+        for b in range(cfg.num_res_blocks + 1):
+            p[f"up{i}_block{b}"] = _convert_resnet_t(sd, f"up.{i}.block.{b}", cfg.use_timestep)
+            if curr_res in cfg.attn_resolutions:
+                p[f"up{i}_attn{b}"] = attn_conv(sd, f"up.{i}.attn.{b}")
+        if i != 0:
+            p[f"up{i}_upsample"] = {"conv": conv2d(sd, f"up.{i}.upsample.conv")}
+            curr_res *= 2
+    p["norm_out"] = norm(sd, "norm_out")
+    p["conv_out"] = conv2d(sd, "conv_out")
+    return {"params": p}
+
+
+def convert_simple_decoder(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """ae_modules.py:581-614 ``SimpleDecoder`` (torch names model.0-5)."""
+    return {"params": {
+        "conv0": conv2d(sd, "model.0"),
+        "res1": _convert_resnet(sd, "model.1"),
+        "res2": _convert_resnet(sd, "model.2"),
+        "res3": _convert_resnet(sd, "model.3"),
+        "conv4": conv2d(sd, "model.4"),
+        "upsample": {"conv": conv2d(sd, "model.5.conv")},
+        "norm_out": norm(sd, "norm_out"),
+        "conv_out": conv2d(sd, "conv_out"),
+    }}
+
+
+def convert_upsample_decoder(sd: Dict[str, Any], ch_mult, num_res_blocks: int) -> Dict[str, Any]:
+    """ae_modules.py:617-662 ``UpsampleDecoder``."""
+    p: Dict[str, Any] = {}
+    for i in range(len(ch_mult)):
+        for b in range(num_res_blocks + 1):
+            p[f"res{i}_{b}"] = _convert_resnet(sd, f"res_blocks.{i}.{b}")
+        if i != len(ch_mult) - 1:
+            p[f"upsample{i}"] = {"conv": conv2d(sd, f"upsample_blocks.{i}.conv")}
+    p["norm_out"] = norm(sd, "norm_out")
+    p["conv_out"] = conv2d(sd, "conv_out")
+    return {"params": p}
+
+
+def convert_latent_rescaler(sd: Dict[str, Any], depth: int = 2, pre: str = "") -> Dict[str, Any]:
+    """ae_modules.py:665-699 ``LatentRescaler`` (``pre`` for the nested
+    rescaler inside the Merged*/Upsampler compositions)."""
+    dot = pre + "." if pre else ""
+    p: Dict[str, Any] = {
+        "conv_in": conv2d(sd, dot + "conv_in"),
+        "attn": _convert_vae_attn(sd, dot + "attn"),
+        "conv_out": conv2d(sd, dot + "conv_out"),
+    }
+    for i in range(depth):
+        p[f"res1_{i}"] = _convert_resnet(sd, f"{dot}res_block1.{i}")
+        p[f"res2_{i}"] = _convert_resnet(sd, f"{dot}res_block2.{i}")
+    return {"params": p}
+
+
+def convert_merged_rescale_encoder(sd: Dict[str, Any], cfg: VAEConfig, depth: int = 1) -> Dict[str, Any]:
+    """ae_modules.py:702-718 — reference names encoder.* / rescaler.*."""
+    return {"params": {
+        "encoder": _convert_encoder(sd, cfg),
+        "rescaler": convert_latent_rescaler(sd, depth, pre="rescaler")["params"],
+    }}
+
+
+def convert_merged_rescale_decoder(sd: Dict[str, Any], cfg: VAEConfig, depth: int = 1) -> Dict[str, Any]:
+    """ae_modules.py:721-735 — reference names rescaler.* / decoder.*."""
+    return {"params": {
+        "rescaler": convert_latent_rescaler(sd, depth, pre="rescaler")["params"],
+        "decoder": _convert_decoder(sd, cfg),
+    }}
+
+
+def convert_upsampler(sd: Dict[str, Any], cfg: VAEConfig) -> Dict[str, Any]:
+    """ae_modules.py:738-754 — rescaler depth is fixed at 2 upstream."""
+    return {"params": {
+        "rescaler": convert_latent_rescaler(sd, 2, pre="rescaler")["params"],
+        "decoder": _convert_decoder(sd, cfg),
+    }}
+
+
+def convert_first_stage_post(sd: Dict[str, Any], ch_mult) -> Dict[str, Any]:
+    """ae_modules.py:780-845 ``FirstStagePostProcessor`` (the frozen
+    pretrained_model.* keys are the caller's AutoencoderKL — skipped; its
+    resblocks carry unused temb_proj weights, dropped per _convert_resnet_t)."""
+    p: Dict[str, Any] = {
+        "proj_norm": norm(sd, "proj_norm"),
+        "proj": conv2d(sd, "proj"),
+    }
+    for i in range(len(ch_mult)):
+        p[f"block{i}"] = _convert_resnet_t(sd, f"model.{i}", temb=False)
+    return {"params": p}
 
 
 # ---------------------------------------------------------------------------
