@@ -38,8 +38,12 @@ def measure(sites: str) -> float:
             out = z
             for _ in range(K):
                 frames = vae.apply(p, out, method=vae.decode)
-                # feed a latent-shaped slice back so K decodes truly chain
-                out = out + frames[:, ::8, ::8, : out.shape[-1]].astype(out.dtype) * 0
+                # feed a latent-shaped reduction back so K decodes truly
+                # chain; tiny (not zero) scale so XLA can't fold the
+                # dependency away (frames are RGB-3, z is 4-channel —
+                # keepdims mean broadcasts over the channel mismatch)
+                fb = frames[:, ::8, ::8, :].astype(out.dtype)
+                out = out + fb.mean(-1, keepdims=True) * jnp.asarray(1e-3, out.dtype)
             return frames.astype(jnp.float32).sum()
         return jax.jit(f)
 
