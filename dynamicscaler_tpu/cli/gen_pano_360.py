@@ -21,6 +21,7 @@ import argparse
 import dataclasses
 import json
 import os
+import threading
 import time
 import numpy as np
 
@@ -187,15 +188,23 @@ def main(vargs: VArgs):
         )
     print(f"[setup] backend: {jax.devices()[0].platform} "
           f"({len(jax.devices())} device(s))", flush=True)
-    # parallel-ingest every cached program for this code version while the
-    # model builds and stage 1 computes its conditioning; stage-1-critical
-    # programs first (progcache module docstring: warm-load economics)
+    # Program acquisition on a warm run is LAZY: each cached program loads
+    # at its first call site (clip/vae during conditioning, sphere_step at
+    # step 0, planar_step/vae_decode at their stages) — ~1-11s apiece with
+    # the server blob memo hot from the cold run's self-ingest. The old
+    # parallel prewarm() burst (15 executable ingests up front) put the
+    # axon server into a post-ingest "digestion" state where every NEW
+    # compile RPC stalled for minutes (measured 260s -> 1200s+, growing
+    # with accumulated server state, BENCH_NOTES round-5); cold runs never
+    # stalled precisely because their self-ingests are spread across the
+    # run. DSCALER_PREWARM=1 restores the burst for A/B measurement.
     from dynamicscaler_tpu.utils import progcache
 
-    progcache.prewarm(
-        priority=("clip_text", "clip_img", "vae_encode", "sphere_step",
-                  "planar_step", "vae_decode"),
-    )
+    if os.environ.get("DSCALER_PREWARM"):
+        progcache.prewarm(
+            priority=("clip_text", "clip_img", "vae_encode", "sphere_step",
+                      "planar_step", "vae_decode"),
+        )
     key = jax.random.PRNGKey(vargs.seed % (2**31))
     model = build_model(vargs)
     print(f"[setup] model built at {time.time() - t_start:.1f}s", flush=True)
@@ -295,8 +304,6 @@ def main(vargs: VArgs):
             run_stage2 or vargs.do_upscale
         )
     ):
-        import threading
-
         uf = vargs.upscale_factor
 
         def _warm(do2=True, do3=True):
@@ -412,10 +419,9 @@ def main(vargs: VArgs):
     pano_1x = load_image(vargs.pano_image_path, eq_h, eq_w)
 
     # ---- STAGE 2: planar 1x (gen_pano_360.py:287-329) ----------------------
-    import threading
-
     basic_latent = None
     save_1x = None
+    save_2x = None
     t_stage = time.time()
     if not vargs.skip_1x:
         if vargs.predenoised_SW_1x_latent_path:
@@ -502,9 +508,14 @@ def main(vargs: VArgs):
         )
         if vargs.save_latents:
             save_latent(latent_2x, os.path.join(out_dir, "denoised_latent2x.npy"))
-        save_video(
-            np.asarray(to_uint8_device(video_2x[0])), out_dir, "SW_2X", fps=vargs.fps
+        # device readback here; the ~20s of host JPEG/PNG encode overlaps
+        # the artifact write + save-1x join below (same split as stage 2)
+        frames_2x = np.asarray(to_uint8_device(video_2x[0]))
+        save_2x = threading.Thread(
+            target=save_video, args=(frames_2x, out_dir, "SW_2X"),
+            kwargs=dict(fps=vargs.fps), name="save-2x",
         )
+        save_2x.start()
         stage_secs["upscale"] = time.time() - t_stage
         from dynamicscaler_tpu.pipelines import planar as _planar
 
@@ -513,6 +524,8 @@ def main(vargs: VArgs):
 
     if save_1x is not None:
         save_1x.join()
+    if save_2x is not None:
+        save_2x.join()
     total = time.time() - t_start
     _write_e2e_artifact(vargs, stage_secs, total, stage_steady)
     print(f"[gen_pano_360] total {total:.1f}s -> {out_dir}")

@@ -76,6 +76,7 @@ _ENV_EXCLUDE = {
     "DSCALER_TRACE_CACHE_DIR",
     "DSCALER_NO_COMPILE_CACHE",
     "DSCALER_STEP_TIMING",
+    "DSCALER_PREWARM",  # burst-vs-lazy acquisition A/B, same programs
 }
 
 _code_version_lock = threading.Lock()
