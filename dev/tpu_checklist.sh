@@ -46,8 +46,13 @@ print(float(jax.jit(lambda a:(a@a).sum())(x)))
 
 if [[ "${1:-}" != "--skip-e2e" ]]; then
   # cold run populates the axon server's HLO cache at this commit; the warm
-  # run immediately after is the headline artifact (VERDICT r3 item 1)
+  # run immediately after is the headline artifact (VERDICT r3 item 1).
+  # Between the two, WAIT for the server to leave its post-ingest digestion
+  # state (BENCH_NOTES round-5: the cold run's tail self-ingests leave new
+  # compile RPCs stalling for minutes; a warm run started inside that
+  # window inherits the stall at its first tiny compile).
   run e2e_cold 5400 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
+  run settle 3700 python dev/settle_gate.py --fast 5
   run e2e_warm 3600 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
 fi
 run bench 3600 python bench.py
