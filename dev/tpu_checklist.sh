@@ -45,13 +45,14 @@ print(float(jax.jit(lambda a:(a@a).sum())(x)))
 " || echo 'probe slow/failed — continuing anyway (slow-regime tunnel)' | tee -a "$OUT/summary.log"
 
 if [[ "${1:-}" != "--skip-e2e" ]]; then
-  # cold run populates the axon server's HLO cache at this commit; the warm
-  # run immediately after is the headline artifact (VERDICT r3 item 1).
-  # Between the two, WAIT for the server to leave its post-ingest digestion
-  # state (BENCH_NOTES round-5: the cold run's tail self-ingests leave new
-  # compile RPCs stalling for minutes; a warm run started inside that
-  # window inherits the stall at its first tiny compile).
-  run e2e_cold 5400 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
+  # Cold run populates the trace cache + the axon server's program cache
+  # at this commit; --repeat_warm then reruns the full pipeline in the SAME
+  # process — the resident-process warm number (zero compile/ingest RPCs,
+  # immune to the server's per-process ingest digestion, BENCH_NOTES
+  # round-5 session 3). The separate process-warm run after the settle
+  # gate measures fresh-process warm start (progcache loads + one
+  # digestion window, absorbed by the burst prewarm + aot_warm thread).
+  run e2e_cold 9000 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true --repeat_warm true
   run settle 3700 python dev/settle_gate.py --fast 5
   run e2e_warm 3600 python -m dynamicscaler_tpu.cli.gen_pano_360 --dev_full_random true
 fi

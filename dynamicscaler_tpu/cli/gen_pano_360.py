@@ -102,6 +102,13 @@ class VArgs:
     profile_dir: str = ""  # write a jax.profiler trace of stage 1 here
     dev_tiny: bool = False  # tiny random model, no assets (smoke/testing)
     dev_full_random: bool = False  # full-size constant-weight model (perf, no assets)
+    # run the full 3-stage pipeline a SECOND time in the same process after
+    # the first completes: the resident-process warm measurement (all
+    # programs established, zero compile/ingest RPCs — the steady-state a
+    # resident serving process delivers per request). Artifact run_type:
+    # "warm_resident".
+    repeat_warm: bool = False
+    resident_pass: bool = False  # internal: set on the second pass
 
     @classmethod
     def from_args(cls, argv=None) -> "VArgs":
@@ -155,7 +162,7 @@ def _enable_cache():
     enable_compilation_cache()
 
 
-def main(vargs: VArgs):
+def main(vargs: VArgs, _model=None):
     if os.environ.get("DSCALER_DUMP_STACKS"):
         import faulthandler
 
@@ -188,25 +195,26 @@ def main(vargs: VArgs):
         )
     print(f"[setup] backend: {jax.devices()[0].platform} "
           f"({len(jax.devices())} device(s))", flush=True)
-    # Program acquisition on a warm run is LAZY: each cached program loads
-    # at its first call site (clip/vae during conditioning, sphere_step at
-    # step 0, planar_step/vae_decode at their stages) — ~1-11s apiece with
-    # the server blob memo hot from the cold run's self-ingest. The old
-    # parallel prewarm() burst (15 executable ingests up front) put the
-    # axon server into a post-ingest "digestion" state where every NEW
-    # compile RPC stalled for minutes (measured 260s -> 1200s+, growing
-    # with accumulated server state, BENCH_NOTES round-5); cold runs never
-    # stalled precisely because their self-ingests are spread across the
-    # run. DSCALER_PREWARM=1 restores the burst for A/B measurement.
+    # Program acquisition on a warm run: burst-prewarm EVERYTHING up front,
+    # in use order. The measured A/B (BENCH_NOTES round-5 session 3) killed
+    # the lazy alternative: call-site loads put each big program's ingest
+    # immediately before its first execute, so every stage head re-opened a
+    # server digestion window and its first execute ate the whole window
+    # (stage-2 step 0: 170s, stage-3 step 0: 177s, decode ~108s). With the
+    # burst, all ingests share ONE window that digests asynchronously while
+    # the head's conditioning/static executes run at full speed — executes
+    # of established programs never stall; only fresh compile RPCs do,
+    # which the rehearsals in the samplers + aot_warm thread front-load.
+    # DSCALER_PREWARM=0 restores lazy acquisition for A/B.
     from dynamicscaler_tpu.utils import progcache
 
-    if os.environ.get("DSCALER_PREWARM"):
+    if os.environ.get("DSCALER_PREWARM", "1") != "0" and progcache.cached_names():
         progcache.prewarm(
             priority=("clip_text", "clip_img", "vae_encode", "sphere_step",
                       "planar_step", "vae_decode"),
         )
-    key = jax.random.PRNGKey(vargs.seed % (2**31))
-    model = build_model(vargs)
+    key = jax.random.PRNGKey((vargs.seed + (1 if vargs.resident_pass else 0)) % (2**31))
+    model = _model if _model is not None else build_model(vargs)
     print(f"[setup] model built at {time.time() - t_start:.1f}s", flush=True)
     mesh = None
     if vargs.data_parallel_devices > 1:
@@ -285,21 +293,26 @@ def main(vargs: VArgs):
         overlap_mode=vargs.overlap_mode,
     )
 
-    # ---- AOT warm: stage-2/3 programs compile while stage 1 computes ------
-    # On a WARM run (step programs already trace-cached for this code
-    # version) the thread cannot save any compile; its conditioning +
-    # warm_only executions only steal single-chip device time from stage 1
-    # (measured: the r4 warm e2e spent ~270s of stage-1 wall on it). The
-    # stage-2/3 conds are then computed inline where they're needed — the
-    # total device work is identical, just serialized without contention.
+    # ---- AOT warm: stage-2/3 programs establish while stage 1 computes ----
+    # Cold runs: the thread traces/compiles the stage-2/3 step + decode
+    # programs (the tunnel compile overlaps chip work, dev/probe_aot.py).
+    # WARM runs keep the thread too — with progcache it loads instead of
+    # tracing (no client-CPU contention, the r4 reason it was skipped), and
+    # its real purpose becomes establishing every stage-2/3 program — the
+    # cached big ones AND the eager tiny ones (cond concats, engine copies,
+    # stitch/convert) — before the server's post-ingest digestion window
+    # opens; a fresh compile RPC inside that window stalls minutes
+    # (BENCH_NOTES round-5 session 3). A resident second pass has
+    # everything in-registry already and skips the thread.
     warm_thread = None
     run_stage2 = not (vargs.skip_1x or vargs.predenoised_SW_1x_latent_path)
     run_is_warm = {"sphere_step", "planar_step"} <= progcache.cached_names()
-    if run_is_warm and vargs.aot_warm and not vargs.warm_probe:
-        print("[aot_warm] skipped: step programs already cached (warm run)",
+    if run_is_warm and not vargs.resident_pass:
+        print("[aot_warm] warm run: thread loads cached programs + "
+              "establishes eager tinies ahead of the digestion window",
               flush=True)
     if vargs.warm_probe or (
-        vargs.aot_warm and not run_is_warm
+        vargs.aot_warm and not vargs.resident_pass
         and not vargs.predenoised_SP_latent_path and (
             run_stage2 or vargs.do_upscale
         )
@@ -308,6 +321,25 @@ def main(vargs: VArgs):
 
         def _warm(do2=True, do3=True):
             try:
+                # gen-level inter-stage tiny programs, issued first (cheap
+                # compile RPCs while the server is still responsive): the
+                # stage-2 init nearest-resize, the stage-3 bicubic-resize +
+                # re_noise jump, at their real shapes on zeros.
+                C_lat = model.config.unet.in_channels
+                z1 = jnp.zeros(
+                    (1, vargs.total_f, eq_h // vs * sphere_scale,
+                     eq_w // vs * sphere_scale, C_lat)
+                )
+                r1 = resize_video_latent(z1, eq_h // vs, eq_w // vs, mode="nearest")
+                if vargs.do_upscale and not vargs.skip_1x:
+                    up_r = resize_video_latent(
+                        r1, eq_h // vs * uf, eq_w // vs * uf, mode="bicubic"
+                    )
+                    jax.block_until_ready(re_noise(
+                        make_schedule_for_model(model, S), up_r, 0,
+                        S - vargs.denoise_to_step,
+                        key=jax.random.fold_in(key, 3),
+                    ))
                 pano_w = load_image(vargs.pano_image_path, eq_h, eq_w)
                 if run_stage2 and do2:
                     i2v.sample_shift_multi_windows(
@@ -529,6 +561,26 @@ def main(vargs: VArgs):
     total = time.time() - t_start
     _write_e2e_artifact(vargs, stage_secs, total, stage_steady)
     print(f"[gen_pano_360] total {total:.1f}s -> {out_dir}")
+    if vargs.repeat_warm and not vargs.resident_pass:
+        # Resident-process warm pass: rerun the full pipeline (fresh seed,
+        # real compute) with every program already established in-process —
+        # zero compile/ingest RPCs, the steady-state a resident serving
+        # process delivers per request. Conditioning is recomputed (a new
+        # request would carry new prompts); the model stays resident.
+        from dynamicscaler_tpu.pipelines.i2v import _COND_CACHE
+
+        _COND_CACHE.clear()
+        print("[gen_pano_360] resident warm pass (same process, programs "
+              "established)", flush=True)
+        return main(
+            dataclasses.replace(
+                vargs,
+                resident_pass=True,
+                project_name=(vargs.project_name
+                              or os.path.basename(out_dir)) + "-warm2",
+            ),
+            _model=model,
+        )
     return out_dir
 
 
@@ -571,6 +623,7 @@ def _write_e2e_artifact(vargs: VArgs, stage_secs: dict, total: float,
     # at a commit is cold (stage walls include first-compile time).
     art_path = os.path.join(res_dir, "e2e_latest.json")
     run_type, cold_total = "cold", None
+    runs = {}
     try:
         with open(art_path) as f:
             prev = json.load(f)
@@ -578,16 +631,28 @@ def _write_e2e_artifact(vargs: VArgs, stage_secs: dict, total: float,
             run_type = "warm"
             cold_total = (
                 prev.get("cold_total_sec")
-                if prev.get("run_type") == "warm"
+                if prev.get("run_type") != "cold"
                 else prev.get("total_sec")
             )
+            # keep one total per run type at this commit, so a later write
+            # (e.g. a process-warm run after a resident pair) can't evict
+            # the others from the record bench.py embeds
+            runs = dict(prev.get("runs") or {})
+            if prev.get("run_type") and prev.get("total_sec") is not None:
+                runs.setdefault(prev["run_type"], prev["total_sec"])
     except Exception:
         pass
+    if vargs.resident_pass:
+        # second in-process pass: all programs established, zero
+        # compile/ingest RPCs — the resident serving steady state
+        run_type = "warm_resident"
+    runs[run_type] = round(total, 1)
     with open(art_path, "w") as f:
         json.dump(
             {
                 "run_type": run_type,
                 "cold_total_sec": cold_total,
+                "runs": runs,
                 "stages_sec": {k: round(v, 1) for k, v in stage_secs.items()},
                 "steady_sec_per_step": {
                     k: round(v, 2)

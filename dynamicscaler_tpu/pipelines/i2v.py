@@ -467,18 +467,25 @@ def sample_shift_multi_windows(
     w_tiles = max(1, tw // 256)
 
     if warm_only:
-        engine.run(latent, plan, uncond, k_run, params=params, warm_only=True)
+        wlat, wden = engine.run(
+            latent, plan, uncond, k_run, params=params, warm_only=True
+        )
         _tm.mark("warm_only: step programs")
         if decode:
-            # one dummy decode tile loads the VAE program (same jit object,
-            # model._jit_vae_decode, as the real ring decode)
-            halo = tw // 16
-            tile_w = (tw // w_tiles if w_tiles > 1 else tw) + 2 * halo
-            p = params if params is not None else model.params
-            model._jit_vae_decode(
-                p, jnp.zeros((1, th, tile_w, model.config.unet.in_channels),
-                             jnp.float32),
-            ).block_until_ready()
+            # full ring decode + uint8 rehearsal at the real shapes: beyond
+            # loading the VAE program, this establishes every eager stitch/
+            # convert program (pad-concat, frame-chunk slices, crop, clip/
+            # scale/astype, [0] select, LoopStats readback) BEFORE the
+            # server's post-ingest digestion window opens — a fresh tiny
+            # compile RPC inside that window stalls for minutes (BENCH_NOTES
+            # round-5 session 3). Contents are garbage; only the programs
+            # matter. Device cost ~= one extra decode per stage, spent in
+            # the aot_warm thread's shadow.
+            from dynamicscaler_tpu.utils.io import to_uint8_device
+
+            wvid = ring_aware_decode(model, wden, w_tiles=w_tiles, params=params)
+            jax.block_until_ready(to_uint8_device(wvid[0]))
+            float(jnp.sum(wden.astype(jnp.float32)))  # LoopStats._readback
         _tm.mark("warm_only: step+decode programs loaded")
         return None, None
 

@@ -608,6 +608,24 @@ def sample_shift_sphere_panorama(
     if use_image_cond is None:
         use_image_cond = model.image_encoder is not None
 
+    # Issue the loop's tiny eager programs NOW, while the axon server is
+    # still responsive: any fresh compile RPC arriving after this process's
+    # program ingests start digesting server-side can stall for the whole
+    # digestion window (BENCH_NOTES round-5 session 3: a single
+    # jnp.zeros_like before the loop stalled 970s). split/fold_in here are
+    # the exact programs the step loop reuses (same key shape); the
+    # astype+sum pair is LoopStats._readback's program at the loop's
+    # latent shape.
+    k_init, k_run, k_noise = jax.random.split(key, 3)
+    jax.block_until_ready(jax.random.fold_in(k_run, 0))
+    float(
+        jnp.sum(
+            jnp.zeros(
+                (1, total_f, eq_lat_h, eq_lat_w, model.config.unet.in_channels)
+            ).astype(jnp.float32)
+        )
+    )
+
     # ---- per-phase view maps + conditioning -------------------------------
     phase_views = sphere_phase_views(phi_theta_dict, loop_step_theta, view_fov)
     # gather maps at view_get_scale, scatter maps at view_set_scale
@@ -693,8 +711,7 @@ def sample_shift_sphere_panorama(
         else jnp.zeros((1, 1, eq_lat_h, eq_lat_w, model.config.unet.in_channels))
     )
 
-    # ---- init latent -------------------------------------------------------
-    k_init, k_run, k_noise = jax.random.split(key, 3)
+    # ---- init latent (k_init/k_run/k_noise split at function head) ---------
     skip = int(skip_time_step_idx or 0)
     if init_sphere_latent is None:
         latent = jax.random.normal(
@@ -767,7 +784,11 @@ def sample_shift_sphere_panorama(
     else:
         step_fn = jax.jit(step_partial)
 
-    denoised = jnp.zeros_like(latent)
+    # numpy zeros, not jnp.zeros_like: the step program uploads it on first
+    # call; an eager zeros_like here is a fresh tiny compile RPC that can
+    # land inside the server's post-ingest digestion window (measured 970s
+    # stall, BENCH_NOTES round-5 session 3)
+    denoised = np.zeros(latent.shape, latent.dtype)
     # one table readback for the whole loop (a scalar int() per step is a
     # device round trip each — 0.4-12s apiece in the tunnel's bad regime)
     ddim_ts_np = np.asarray(sched.ddim_timesteps)

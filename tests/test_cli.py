@@ -40,6 +40,43 @@ def test_gen_pano_360_three_stages(tiny_pano, tmp_path):
     assert args["dev_tiny"] is True
 
 
+def test_gen_pano_360_repeat_warm_resident(tiny_pano, tmp_path):
+    """--repeat_warm runs the pipeline twice in-process; the second pass
+    writes a run_type=warm_resident artifact chained to the first's total."""
+    from dynamicscaler_tpu.cli import gen_pano_360 as g
+
+    out = g.main(
+        g.VArgs(
+            dev_tiny=True,
+            pano_image_path=tiny_pano,
+            output_dir=str(tmp_path),
+            project_name="rw",
+            repeat_warm=True,
+        )
+    )
+    assert out.endswith("-warm2")
+    args = json.load(open(os.path.join(out, "args.json")))
+    assert args["resident_pass"] is True
+    # dev_tiny geometry never qualifies for results/e2e_latest.json — check
+    # the label logic directly (full default geometry), snapshotting and
+    # restoring the real artifact file around the probe write
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results", "e2e_latest.json")
+    before = open(art).read() if os.path.exists(art) else None
+    try:
+        g._write_e2e_artifact(
+            g.VArgs(resident_pass=True),
+            {"sphere": 1.0, "planar_1x": 1.0, "upscale": 1.0}, 3.0, {},
+        )
+        rec = json.load(open(art))
+        assert rec["run_type"] == "warm_resident"
+    finally:
+        if before is None:
+            os.remove(art)
+        else:
+            open(art, "w").write(before)
+
+
 def test_gen_pano_360_resume_stage1(tiny_pano, tmp_path):
     from dynamicscaler_tpu.cli.gen_pano_360 import VArgs, main
 
