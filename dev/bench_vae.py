@@ -61,7 +61,35 @@ def measure(sites: str) -> float:
 
 
 if __name__ == "__main__":
+    import json
+    import os
+    import subprocess
+
     on = measure("vae")
     off = measure("")
     verdict = "KEEP kernel (vae)" if on <= off else "DEMOTE vae site too"
     print(f"kernel-on {on:.1f} ms vs off {off:.1f} ms -> {verdict}")
+    # durable artifact (VERDICT r4: measurement inputs must survive the
+    # session) — read by nothing programmatically, cited by BENCH_NOTES
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    os.makedirs(os.path.join(root, "results"), exist_ok=True)
+    with open(os.path.join(root, "results", "vae_latest.json"), "w") as f:
+        json.dump(
+            {
+                "ms_per_window_decode": {"gnsilu_vae": round(on, 1),
+                                         "gnsilu_off": round(off, 1)},
+                "verdict": verdict,
+                "method": "slope-timed K=1 vs K=2 chained 16-frame decodes",
+                "commit": commit,
+                "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            },
+            f,
+            indent=2,
+        )

@@ -411,17 +411,19 @@ def _gn_silu_call(x3, mul, add, *, act, interpret):
     return out
 
 
-# Measured per-site defaults (results/ablate_latest.json @ acee677, B=8
-# UNet fwd, TPU v5e): the UNet is FASTER with the gn_silu kernel off —
-# 808.1 ms/fwd vs 844.7 ms with it on. XLA fuses the normalize+SiLU
-# epilogue into the consuming conv, while the fold+Pallas split re-reads x
-# from HBM a third time. The VAE keeps the kernel (longer norm->conv chains,
-# no measured regression; time with dev/bench_vae.py when retuning).
-# Override: DSCALER_GNSILU_SITES — comma list out of {unet, vae}; "" turns
-# the kernel off everywhere, "unet,vae" restores the round-3 behavior.
+# Measured per-site defaults: the gn_silu kernel loses at BOTH sites on
+# TPU v5e — XLA fuses the normalize+SiLU epilogue into the consuming conv,
+# while the fold+Pallas split re-reads x from HBM a third time.
+#   unet: 808.1 ms/fwd off vs 844.7 on (results/ablate_latest.json
+#         @ acee677, B=8 UNet fwd) — demoted in round 4 (a3e9ac5).
+#   vae:  152.1 ms off vs 206.8 on per 16-frame window decode
+#         (dev/bench_vae.py slope-timed K=1 vs K=2, round-5
+#         results/vae_latest.json) — demoted in round 5.
+# Override: DSCALER_GNSILU_SITES — comma list out of {unet, vae}; "" (the
+# default) keeps the kernel off everywhere, "unet,vae" restores round-3.
 _GNSILU_SITES = frozenset(
     s.strip()
-    for s in os.environ.get("DSCALER_GNSILU_SITES", "vae").split(",")
+    for s in os.environ.get("DSCALER_GNSILU_SITES", "").split(",")
     if s.strip()
 )
 
