@@ -44,20 +44,21 @@ def fusable(n_tokens: int, inner: int, query_dim: int, heads: int) -> bool:
 
     Token counts must tile the (16, 128)-shaped bf16 VMEM layout; square
     projections (inner == query dim, true for all UNet spatial blocks);
-    C <= 640 — measured on v5e: x1.60 at (N=2560, C=320), x2.09 at
-    (N=640, C=640), but x0.94 at (N=160, C=1280) where projections dominate
-    and XLA's row-batched matmuls already run at ~103 TFLOP/s, so small-N /
-    wide-C levels (L3, mid block) stay on XLA.
+    C <= 1280 — measured on v5e: x1.60 at (N=2560, C=320), x2.09 at
+    (N=640, C=640); the (N=160, C=1280) mid/L3 site lost at x0.94 in r3
+    but wins after normalize-after-PV + retuned row tiles (round-5 full-fwd
+    A/B: 800.9 ms wide vs 810.3 off), so the wide gate is now the default.
     """
     if _mode() == "off" or fused_temporal.kernel_disabled("spatial"):
         return False
     if not (_mode() == "interpret" or fused_temporal._tpu_available()):
         return False
-    # DSCALER_SPATIAL_WIDE=1 extends the gate to the (N=160, C=1280) mid/L3
-    # site for measurement (r3 full-sub-block attempt lost at x0.94; the
-    # kernel has since gained normalize-after-PV + retuned row tiles —
-    # re-measure via `dev/bench_block.py xfmr` before flipping the default).
-    wide = os.environ.get("DSCALER_SPATIAL_WIDE", "0") == "1"
+    # The wide gate admits the (N=160, C=1280) mid/L3 site. Measured ON by
+    # default in round 5 (dev/ablate_unet.py full, B=8, v5e): full fwd
+    # 800.9 ms wide vs 810.3 ms off — the r3 x0.94 loss flipped to a win
+    # after normalize-after-PV + retuned row tiles. DSCALER_SPATIAL_WIDE=0
+    # restores the narrow gate.
+    wide = os.environ.get("DSCALER_SPATIAL_WIDE", "1") == "1"
     min_n, max_c = (128, 1280) if wide else (256, 640)
     return (
         min_n <= n_tokens <= 4096

@@ -6,6 +6,8 @@ in Pallas interpret mode and must match the manual-matmul path in
 models/attention.py within float tolerance.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,7 +40,16 @@ def _reference_subblock(x, s, b, wq, wk, wv, wo, bo, heads, scale):
     return o @ wo + bo + x
 
 
-@pytest.mark.parametrize("B,N,C,heads", [(3, 256, 64, 2), (2, 288, 32, 1), (1, 512, 128, 2)])
+@pytest.mark.parametrize(
+    "B,N,C,heads",
+    [
+        (3, 256, 64, 2),
+        (2, 288, 32, 1),
+        (1, 512, 128, 2),
+        # the wide-gate mid/L3 shape admitted by default in round 5
+        (1, 160, 1280, 20),
+    ],
+)
 def test_kernel_matches_reference(rng, B, N, C, heads):
     fused_temporal.set_mode("interpret")
     x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32)) * 0.5
@@ -100,8 +111,15 @@ def test_gate_excludes_unsupported_shapes():
     assert not fused_spatial.fusable(40, 1280, 1280, 20)  # mid block: tiny N
     assert not fused_spatial.fusable(2560, 320, 640, 5)  # non-square proj
     assert not fused_spatial.fusable(2561, 320, 320, 5)  # ragged tokens
-    assert not fused_spatial.fusable(160, 1280, 1280, 20)  # L3: XLA wins (measured)
-    assert not fused_spatial.fusable(512, 1280, 1280, 20)  # C>640
+    # L3 (160, 1280): admitted by the wide gate (measured win, round 5);
+    # DSCALER_SPATIAL_WIDE=0 restores the narrow gate that rejects it
+    assert fused_spatial.fusable(160, 1280, 1280, 20)
+    os.environ["DSCALER_SPATIAL_WIDE"] = "0"
+    try:
+        assert not fused_spatial.fusable(160, 1280, 1280, 20)
+        assert not fused_spatial.fusable(512, 1280, 1280, 20)  # narrow: C>640
+    finally:
+        del os.environ["DSCALER_SPATIAL_WIDE"]
     assert fused_spatial.fusable(2560, 320, 320, 5)
     assert fused_spatial.fusable(640, 640, 640, 10)
 
